@@ -1,0 +1,205 @@
+"""Edge and corner detectors: Canny, Harris.
+
+These are the north-star multi-stage pipelines (BASELINE.json): the XLA
+reference implementations here define the semantics; the fused Pallas
+kernels in ``ops/pallas`` must match them.
+
+Canny follows the classic OpenCV recipe: Gaussian smoothing → Sobel
+gradients → gradient-direction non-maximum suppression (4 quantised
+directions) → double threshold → hysteresis by iterated masked dilation
+(a ``lax.while_loop`` fixpoint — the TPU-friendly formulation of the
+reference-era flood fill; dynamic queues are not expressible under XLA).
+
+Harris: structure tensor from Sobel gradients, Gaussian (or box) window,
+response ``det(M) - k·tr(M)²``, then threshold + 3x3 local NMS.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .._dtype import cast_to_float
+from .._layout import ensure_nhwc, num_channels
+from .color import rgb_to_grayscale
+from .filters import gaussian_blur, pad2d, sobel_gradients
+
+__all__ = [
+    "canny",
+    "canny_nms",
+    "hysteresis",
+    "harris_response",
+    "harris",
+]
+
+
+def _shift(x: jax.Array, dy: int, dx: int) -> jax.Array:
+    """Shift an (N,H,W) map by (dy,dx), zero-filling (for neighbour access)."""
+    n, h, w = x.shape
+    padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
+    return lax.slice(padded, (0, 1 + dy, 1 + dx), (n, 1 + dy + h, 1 + dx + w))
+
+
+def canny_nms(mag: jax.Array, gx: jax.Array, gy: jax.Array) -> jax.Array:
+    """Directional non-maximum suppression of a gradient magnitude map.
+
+    ``mag/gx/gy`` are (N,H,W).  The gradient angle is quantised to 4
+    directions (0°, 45°, 90°, 135°); a pixel survives when its magnitude is
+    >= both neighbours along its gradient direction (ties keep the pixel,
+    matching OpenCV's `>` on one side and `>=` on the other).
+    """
+    ang = jnp.arctan2(gy, gx)  # [-pi, pi]
+    deg = jnp.mod(jnp.degrees(ang), 180.0)
+
+    # neighbour pairs per quantised direction
+    n_e, n_w = _shift(mag, 0, 1), _shift(mag, 0, -1)          # 0°: horizontal
+    n_ne, n_sw = _shift(mag, -1, 1), _shift(mag, 1, -1)       # 45°
+    n_n, n_s = _shift(mag, -1, 0), _shift(mag, 1, 0)          # 90°
+    n_nw, n_se = _shift(mag, -1, -1), _shift(mag, 1, 1)       # 135°
+
+    d0 = (deg < 22.5) | (deg >= 157.5)
+    d45 = (deg >= 22.5) & (deg < 67.5)
+    d90 = (deg >= 67.5) & (deg < 112.5)
+    # else 135
+
+    nb1 = jnp.where(d0, n_e, jnp.where(d45, n_ne, jnp.where(d90, n_n, n_nw)))
+    nb2 = jnp.where(d0, n_w, jnp.where(d45, n_sw, jnp.where(d90, n_s, n_se)))
+    keep = (mag >= nb1) & (mag > nb2)
+    return jnp.where(keep, mag, 0.0)
+
+
+def hysteresis(strong: jax.Array, weak: jax.Array, max_iters: Optional[int] = None) -> jax.Array:
+    """Grow ``strong`` (N,H,W bool) through 8-connected ``weak`` pixels until
+    fixpoint (bounded ``while_loop``).  Returns the final strong mask."""
+
+    def dilate(m: jax.Array) -> jax.Array:
+        out = m
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                out = out | _shift(m, dy, dx)
+        return out
+
+    def cond(state):
+        mask, changed, it = state
+        bound = jnp.asarray(True) if max_iters is None else it < max_iters
+        return changed & bound
+
+    def body(state):
+        mask, _, it = state
+        grown = dilate(mask) & weak | mask
+        return grown, jnp.any(grown != mask), it + 1
+
+    mask, _, _ = lax.while_loop(cond, body, (strong, jnp.asarray(True), jnp.asarray(0)))
+    return mask
+
+
+def canny(
+    image: jax.Array,
+    low_threshold: float = 0.1,
+    high_threshold: float = 0.2,
+    kernel_size: int = 5,
+    sigma: float = 1.4,
+    use_hysteresis: bool = True,
+    max_hysteresis_iters: Optional[int] = None,
+) -> jax.Array:
+    """Canny edge map.  Thresholds are on the Sobel gradient magnitude of the
+    smoothed image (same value scale as the input: pass ~[0,1] thresholds for
+    float images in [0,1], 0..255-scale thresholds for uint8 inputs).
+
+    Returns a float32 edge mask of the input's spatial rank (values 0/1).
+    """
+    image = jnp.asarray(image)
+    fimg, _ = cast_to_float(image)
+    if num_channels(fimg) > 1:
+        fimg = rgb_to_grayscale(fimg)
+    nhwc, restore = ensure_nhwc(fimg)
+
+    blurred = gaussian_blur(nhwc, kernel_size, sigma)
+    gx4, gy4 = sobel_gradients(blurred)
+    gx, gy = gx4[..., 0], gy4[..., 0]  # (N,H,W)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+
+    suppressed = canny_nms(mag, gx, gy)
+
+    strong = suppressed >= high_threshold
+    weak = suppressed >= low_threshold
+    if use_hysteresis:
+        edges = hysteresis(strong, weak, max_hysteresis_iters)
+    else:
+        edges = strong
+    out = edges[..., None].astype(jnp.float32)
+    return restore(out)
+
+
+def harris_response(
+    image: jax.Array,
+    k: float = 0.04,
+    window_size: int = 5,
+    sigma: float = 1.0,
+    window: str = "gaussian",
+) -> jax.Array:
+    """Harris corner response ``det(M) - k·tr(M)²`` with a smoothed structure
+    tensor.  Returns a float map of the input's spatial rank."""
+    image = jnp.asarray(image)
+    fimg, _ = cast_to_float(image)
+    if num_channels(fimg) > 1:
+        fimg = rgb_to_grayscale(fimg)
+    nhwc, restore = ensure_nhwc(fimg)
+
+    gx, gy = sobel_gradients(nhwc)
+    ixx, iyy, ixy = gx * gx, gy * gy, gx * gy
+    if window == "gaussian":
+        sxx = gaussian_blur(ixx, window_size, sigma)
+        syy = gaussian_blur(iyy, window_size, sigma)
+        sxy = gaussian_blur(ixy, window_size, sigma)
+    elif window == "box":
+        from .filters import box_blur
+
+        sxx, syy, sxy = box_blur(ixx, window_size), box_blur(iyy, window_size), box_blur(ixy, window_size)
+    else:
+        raise ValueError(f"unknown window {window!r}")
+
+    det = sxx * syy - sxy * sxy
+    trace = sxx + syy
+    return restore(det - k * trace * trace)
+
+
+def harris(
+    image: jax.Array,
+    max_corners: int = 100,
+    k: float = 0.04,
+    quality_level: float = 0.01,
+    window_size: int = 5,
+    sigma: float = 1.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Harris corner detection with 3x3 local NMS and top-k selection.
+
+    Returns ``(coords, scores, valid)`` with fixed shapes: coords (K,2) as
+    (row, col), scores (K,), valid (K,) bool — padded entries have
+    valid=False (TPU-native fixed-size output instead of a dynamic list).
+    Single image input (HW or HWC).
+    """
+    resp = harris_response(image, k=k, window_size=window_size, sigma=sigma)
+    r = resp if resp.ndim == 2 else resp[..., 0]
+    h, w = r.shape
+
+    # 3x3 local NMS
+    r3 = r[None]
+    local_max = r3
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            local_max = jnp.maximum(local_max, _shift(r3, dy, dx))
+    is_peak = (r3 >= local_max)[0] & (r > quality_level * jnp.max(r))
+
+    scores = jnp.where(is_peak, r, -jnp.inf).reshape(-1)
+    top_scores, top_idx = lax.top_k(scores, max_corners)
+    coords = jnp.stack([top_idx // w, top_idx % w], axis=-1)
+    valid = jnp.isfinite(top_scores)
+    return coords, jnp.where(valid, top_scores, 0.0), valid

@@ -124,7 +124,7 @@ def resize(
 ) -> np.ndarray:
     """torchvision transforms/_functional_tensor.py:441-474 (resize)."""
     img = _to_torch_chw(img_hwc)
-    align = None if interpolation == "nearest" else False
+    align = False if interpolation in ("bilinear", "bicubic") else None
     aa = antialias and interpolation in ("bilinear", "bicubic")
     img, need_cast, need_squeeze, out_dtype = _cast_squeeze_in(img, [torch.float32, torch.float64])
     out = F.interpolate(img, size=list(size), mode=interpolation, align_corners=align, antialias=aa)
