@@ -51,19 +51,31 @@ def canny_nms(mag: jax.Array, gx: jax.Array, gy: jax.Array) -> jax.Array:
     >= both neighbours along its gradient direction (ties keep the pixel,
     matching OpenCV's `>` on one side and `>=` on the other).
     """
-    ang = jnp.arctan2(gy, gx)  # [-pi, pi]
-    deg = jnp.mod(jnp.degrees(ang), 180.0)
+    # Direction bins without atan2 (not lowerable to the TPU vector unit):
+    # the quantised gradient direction only needs |gy| vs tan(22.5°)·|gx|,
+    # |gy| vs tan(67.5°)·|gx|, and sign(gx·gy).  Bit-identical logic in the
+    # fused Pallas kernel.
+    ax, ay = jnp.abs(gx), jnp.abs(gy)
+    t_lo = jnp.float32(0.41421356)  # tan 22.5°
+    t_hi = jnp.float32(2.4142137)  # tan 67.5°
+    d0 = ay < t_lo * ax
+    d90 = ay >= t_hi * ax
+    d45 = (~d0) & (~d90) & ((gx * gy) >= 0)
+    # else 135°
 
-    # neighbour pairs per quantised direction
-    n_e, n_w = _shift(mag, 0, 1), _shift(mag, 0, -1)          # 0°: horizontal
-    n_ne, n_sw = _shift(mag, -1, 1), _shift(mag, 1, -1)       # 45°
-    n_n, n_s = _shift(mag, -1, 0), _shift(mag, 1, 0)          # 90°
-    n_nw, n_se = _shift(mag, -1, -1), _shift(mag, 1, 1)       # 135°
+    # neighbour magnitudes come from a reflect ring: for symmetric smoothing
+    # kernels the gradient magnitude of the reflect-padded image IS the
+    # reflect-pad of the magnitude, which is what the fused Pallas kernel
+    # computes in its halo
+    def _rshift(x, dy, dx):
+        n, h, w = x.shape
+        padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+        return lax.slice(padded, (0, 1 + dy, 1 + dx), (n, 1 + dy + h, 1 + dx + w))
 
-    d0 = (deg < 22.5) | (deg >= 157.5)
-    d45 = (deg >= 22.5) & (deg < 67.5)
-    d90 = (deg >= 67.5) & (deg < 112.5)
-    # else 135
+    n_e, n_w = _rshift(mag, 0, 1), _rshift(mag, 0, -1)          # 0°: horizontal
+    n_ne, n_sw = _rshift(mag, -1, 1), _rshift(mag, 1, -1)       # 45°
+    n_n, n_s = _rshift(mag, -1, 0), _rshift(mag, 1, 0)          # 90°
+    n_nw, n_se = _rshift(mag, -1, -1), _rshift(mag, 1, 1)       # 135°
 
     nb1 = jnp.where(d0, n_e, jnp.where(d45, n_ne, jnp.where(d90, n_n, n_nw)))
     nb2 = jnp.where(d0, n_w, jnp.where(d45, n_sw, jnp.where(d90, n_s, n_se)))
@@ -106,13 +118,25 @@ def canny(
     sigma: float = 1.4,
     use_hysteresis: bool = True,
     max_hysteresis_iters: Optional[int] = None,
+    backend: Optional[str] = None,
 ) -> jax.Array:
     """Canny edge map.  Thresholds are on the Sobel gradient magnitude of the
     smoothed image (same value scale as the input: pass ~[0,1] thresholds for
     float images in [0,1], 0..255-scale thresholds for uint8 inputs).
 
     Returns a float32 edge mask of the input's spatial rank (values 0/1).
+
+    ``backend``: "pallas" (fused VMEM kernel, default on TPU), "xla"
+    (reference implementation), or None for auto.
     """
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas" and use_hysteresis:
+        from .pallas import fused_canny
+
+        return fused_canny(
+            image, low_threshold, high_threshold, kernel_size, sigma, max_hysteresis_iters
+        )
     image = jnp.asarray(image)
     fimg, _ = cast_to_float(image)
     if num_channels(fimg) > 1:
@@ -145,24 +169,35 @@ def harris_response(
 ) -> jax.Array:
     """Harris corner response ``det(M) - k·tr(M)²`` with a smoothed structure
     tensor.  Returns a float map of the input's spatial rank."""
+    from .filters import _depthwise_conv_valid, get_gaussian_kernel1d, sobel_kernels
+
     image = jnp.asarray(image)
     fimg, _ = cast_to_float(image)
     if num_channels(fimg) > 1:
         fimg = rgb_to_grayscale(fimg)
     nhwc, restore = ensure_nhwc(fimg)
 
-    gx, gy = sobel_gradients(nhwc)
+    # single reflect of the *image* by the full halo (sobel + window); the
+    # fused Pallas kernel computes the same way, so they match everywhere
+    # including borders
+    r = window_size // 2
+    halo = 1 + r
+    padded = pad2d(nhwc, halo, mode="reflect")
+    gx_k, gy_k = sobel_kernels(padded.dtype)
+    gx = _depthwise_conv_valid(padded, gx_k)  # (n, h+2r, w+2r, c)
+    gy = _depthwise_conv_valid(padded, gy_k)
     ixx, iyy, ixy = gx * gx, gy * gy, gx * gy
-    if window == "gaussian":
-        sxx = gaussian_blur(ixx, window_size, sigma)
-        syy = gaussian_blur(iyy, window_size, sigma)
-        sxy = gaussian_blur(ixy, window_size, sigma)
-    elif window == "box":
-        from .filters import box_blur
 
-        sxx, syy, sxy = box_blur(ixx, window_size), box_blur(iyy, window_size), box_blur(ixy, window_size)
+    if window == "gaussian":
+        k1 = get_gaussian_kernel1d(window_size, sigma)
+        win = jnp.outer(k1, k1)
+    elif window == "box":
+        win = jnp.full((window_size, window_size), 1.0 / window_size**2, jnp.float32)
     else:
         raise ValueError(f"unknown window {window!r}")
+    sxx = _depthwise_conv_valid(ixx, win)
+    syy = _depthwise_conv_valid(iyy, win)
+    sxy = _depthwise_conv_valid(ixy, win)
 
     det = sxx * syy - sxy * sxy
     trace = sxx + syy

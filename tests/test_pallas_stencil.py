@@ -1,0 +1,83 @@
+"""Fused Pallas stencil kernels vs their XLA oracles (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cpu_vision_tpu import ops
+from cpu_vision_tpu.ops.pallas import (
+    canny_stage1,
+    fused_blur_sobel,
+    fused_canny,
+    harris_response_fused,
+)
+
+
+def _img(rng, h, w):
+    return rng.random((h, w), dtype=np.float32)
+
+
+class TestFusedBlurSobel:
+    @pytest.mark.parametrize("shape", [(64, 96), (72, 130), (33, 257)])
+    def test_matches_xla(self, rng, shape):
+        img = _img(rng, *shape)
+        ref = np.asarray(ops.sobel(ops.gaussian_blur(jnp.asarray(img), 5, 1.5)))
+        out = np.asarray(fused_blur_sobel(jnp.asarray(img), 5, 1.5, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_batched_rgb(self, rng):
+        imgs = rng.random((2, 40, 48, 3), dtype=np.float32)
+        ref = np.asarray(ops.sobel(ops.gaussian_blur(jnp.asarray(imgs), 5, 1.5)))
+        out = np.asarray(fused_blur_sobel(jnp.asarray(imgs), 5, 1.5, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_kernel7(self, rng):
+        img = _img(rng, 48, 64)
+        ref = np.asarray(ops.sobel(ops.gaussian_blur(jnp.asarray(img), 7, 2.0)))
+        out = np.asarray(fused_blur_sobel(jnp.asarray(img), 7, 2.0, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestFusedCanny:
+    def test_matches_xla_on_shapes(self, rng):
+        # An axis-aligned step edge has analytically TIED magnitudes on the
+        # two columns flanking the edge; 1-ULP noise decides which survives
+        # NMS, so binary equality can differ at tie pixels.  Require the
+        # mismatch to be confined to that (<1% of pixels) and edge counts to
+        # agree.
+        img = np.full((64, 80), 0.1, np.float32)
+        img[20:44, 24:60] = 0.9
+        ref = np.asarray(ops.canny(jnp.asarray(img), 0.1, 0.3, backend="xla"))
+        out = np.asarray(fused_canny(jnp.asarray(img), 0.1, 0.3, interpret=True))
+        mismatch = ref != out
+        assert mismatch.mean() < 0.02, f"mismatch fraction {mismatch.mean()}"
+        # every mismatch must be adjacent to a reference edge (the flipped
+        # side of a tied pair), never a spurious edge in flat regions
+        ref_dil = np.zeros_like(ref, bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ref_dil |= np.roll(np.roll(ref > 0, dy, 0), dx, 1)
+        assert (mismatch <= ref_dil).all(), "mismatch away from reference edges"
+        assert abs(ref.sum() - out.sum()) / max(ref.sum(), 1) < 0.05
+
+    def test_matches_xla_on_noise(self, rng):
+        img = _img(rng, 56, 72)
+        ref = np.asarray(ops.canny(jnp.asarray(img), 0.3, 0.6, backend="xla"))
+        out = np.asarray(fused_canny(jnp.asarray(img), 0.3, 0.6, interpret=True))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_stage1_classes(self, rng):
+        maps = jnp.asarray(_img(rng, 40, 40))[None]
+        cls = np.asarray(canny_stage1(maps, 0.2, 0.5, interpret=True))
+        assert cls.dtype == np.uint8
+        assert set(np.unique(cls)).issubset({0, 1, 2})
+
+
+class TestFusedHarris:
+    @pytest.mark.parametrize("shape", [(64, 96), (50, 70)])
+    def test_matches_xla(self, rng, shape):
+        img = _img(rng, *shape)
+        ref = np.asarray(ops.harris_response(jnp.asarray(img)))
+        out = np.asarray(harris_response_fused(jnp.asarray(img), interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
