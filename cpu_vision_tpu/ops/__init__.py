@@ -1,5 +1,28 @@
 """Image and vision ops (XLA-reference implementations + Pallas fused kernels)."""
 
+from .boxes import (  # noqa: F401
+    batched_nms,
+    box_area,
+    box_convert,
+    box_iou,
+    clip_boxes_to_image,
+    complete_box_iou,
+    distance_box_iou,
+    generalized_box_iou,
+    masks_to_boxes,
+    nms,
+    nms_padded,
+    remove_small_boxes,
+)
+from .deform import deform_conv2d  # noqa: F401
+from .losses import (  # noqa: F401
+    complete_box_iou_loss,
+    distance_box_iou_loss,
+    generalized_box_iou_loss,
+    sigmoid_focal_loss,
+)
+from .regularizers import drop_block2d, drop_block3d, stochastic_depth  # noqa: F401
+from .roi import ps_roi_align, ps_roi_pool, roi_align, roi_pool  # noqa: F401
 from .color import (  # noqa: F401
     adjust_brightness,
     adjust_contrast,

@@ -1,0 +1,223 @@
+"""Bounding-box ops: IoU family, conversion, NMS.
+
+Math ports of the reference's ``torchvision/ops/boxes.py`` (:13-420) and
+``ops/_box_convert.py``; NMS reimplements the greedy suppression semantics of
+the reference's C++ kernel (``csrc/ops/cpu/nms_kernel.cpp:48-75``) as a
+fixed-shape ``lax.fori_loop`` — TPU-native: instead of a dynamically-sized
+index tensor, NMS returns a boolean keep mask (compose with ``top_k`` /
+``jnp.where`` for indices), and ``nms_padded`` returns fixed-size indices +
+a count.
+
+Boxes are ``(x1, y1, x2, y2)`` float arrays of shape (N, 4) unless stated.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "box_area",
+    "box_iou",
+    "generalized_box_iou",
+    "distance_box_iou",
+    "complete_box_iou",
+    "box_convert",
+    "clip_boxes_to_image",
+    "remove_small_boxes",
+    "masks_to_boxes",
+    "nms",
+    "nms_padded",
+    "batched_nms",
+]
+
+
+def box_area(boxes: jax.Array) -> jax.Array:
+    """(x2-x1)·(y2-y1) (reference ``box_area``, ``ops/boxes.py:235``)."""
+    return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
+
+def _box_inter_union(boxes1: jax.Array, boxes2: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[:, :, 0] * wh[:, :, 1]
+    union = area1[:, None] + area2[None, :] - inter
+    return inter, union
+
+
+def box_iou(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
+    """Pairwise IoU (N, M) (reference ``box_iou``, ``ops/boxes.py:271``)."""
+    inter, union = _box_inter_union(boxes1, boxes2)
+    return inter / union
+
+
+def generalized_box_iou(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
+    """GIoU (reference ``generalized_box_iou``, ``ops/boxes.py:294``)."""
+    inter, union = _box_inter_union(boxes1, boxes2)
+    iou = inter / union
+    lti = jnp.minimum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rbi = jnp.maximum(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    whi = jnp.clip(rbi - lti, 0)
+    areai = whi[:, :, 0] * whi[:, :, 1]
+    return iou - (areai - union) / areai
+
+
+def _box_diou_iou(boxes1: jax.Array, boxes2: jax.Array, eps: float = 1e-7):
+    iou = box_iou(boxes1, boxes2)
+    lti = jnp.minimum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rbi = jnp.maximum(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    whi = jnp.clip(rbi - lti, 0)
+    diag_sq = whi[:, :, 0] ** 2 + whi[:, :, 1] ** 2 + eps
+    x_p = (boxes1[:, 0] + boxes1[:, 2]) * 0.5
+    y_p = (boxes1[:, 1] + boxes1[:, 3]) * 0.5
+    x_g = (boxes2[:, 0] + boxes2[:, 2]) * 0.5
+    y_g = (boxes2[:, 1] + boxes2[:, 3]) * 0.5
+    centers_sq = (x_p[:, None] - x_g[None, :]) ** 2 + (y_p[:, None] - y_g[None, :]) ** 2
+    return iou - centers_sq / diag_sq, iou
+
+
+def distance_box_iou(boxes1: jax.Array, boxes2: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """DIoU (reference ``distance_box_iou``, ``ops/boxes.py:360``)."""
+    diou, _ = _box_diou_iou(boxes1, boxes2, eps)
+    return diou
+
+
+def complete_box_iou(boxes1: jax.Array, boxes2: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """CIoU (reference ``complete_box_iou``, ``ops/boxes.py:327``)."""
+    diou, iou = _box_diou_iou(boxes1, boxes2, eps)
+    w_pred = boxes1[:, None, 2] - boxes1[:, None, 0]
+    h_pred = boxes1[:, None, 3] - boxes1[:, None, 1]
+    w_gt = boxes2[:, 2] - boxes2[:, 0]
+    h_gt = boxes2[:, 3] - boxes2[:, 1]
+    v = (4.0 / jnp.pi**2) * (jnp.arctan(w_pred / h_pred) - jnp.arctan(w_gt / h_gt)) ** 2
+    alpha = lax.stop_gradient(v / (1 - iou + v + eps))
+    return diou - alpha * v
+
+
+def box_convert(boxes: jax.Array, in_fmt: str, out_fmt: str) -> jax.Array:
+    """Convert between 'xyxy', 'xywh', 'cxcywh' (reference ``box_convert``,
+    ``ops/boxes.py:177`` + ``ops/_box_convert.py``)."""
+    fmts = ("xyxy", "xywh", "cxcywh")
+    if in_fmt not in fmts or out_fmt not in fmts:
+        raise ValueError(f"formats must be one of {fmts}")
+    if in_fmt == out_fmt:
+        return boxes
+    # to xyxy
+    if in_fmt == "xywh":
+        x, y, w, h = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+        xyxy = jnp.stack([x, y, x + w, y + h], axis=-1)
+    elif in_fmt == "cxcywh":
+        cx, cy, w, h = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+        xyxy = jnp.stack([cx - w * 0.5, cy - h * 0.5, cx + w * 0.5, cy + h * 0.5], axis=-1)
+    else:
+        xyxy = boxes
+    if out_fmt == "xyxy":
+        return xyxy
+    x1, y1, x2, y2 = xyxy[..., 0], xyxy[..., 1], xyxy[..., 2], xyxy[..., 3]
+    if out_fmt == "xywh":
+        return jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
+    return jnp.stack([(x1 + x2) * 0.5, (y1 + y2) * 0.5, x2 - x1, y2 - y1], axis=-1)
+
+
+def clip_boxes_to_image(boxes: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Clip to [0, W] x [0, H]; ``size`` is (height, width) (reference
+    ``clip_boxes_to_image``, ``ops/boxes.py:127``)."""
+    h, w = size
+    x = jnp.clip(boxes[..., 0::2], 0, w)
+    y = jnp.clip(boxes[..., 1::2], 0, h)
+    out = jnp.stack([x[..., 0], y[..., 0], x[..., 1], y[..., 1]], axis=-1)
+    return out
+
+
+def remove_small_boxes(boxes: jax.Array, min_size: float) -> jax.Array:
+    """Boolean mask of boxes with both sides >= min_size (fixed-shape analog
+    of reference ``remove_small_boxes``, ``ops/boxes.py:157``, which returns
+    indices)."""
+    ws = boxes[:, 2] - boxes[:, 0]
+    hs = boxes[:, 3] - boxes[:, 1]
+    return (ws >= min_size) & (hs >= min_size)
+
+
+def masks_to_boxes(masks: jax.Array) -> jax.Array:
+    """(N, H, W) masks -> (N, 4) xyxy boxes (reference ``masks_to_boxes``,
+    ``ops/boxes.py:402``).  All-zero masks produce (0, 0, 0, 0)."""
+    n, h, w = masks.shape
+    any_mask = jnp.any(masks, axis=(1, 2))
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    big = jnp.float32(1e9)
+    mx = jnp.where(masks, xs[None, None, :], big).min(axis=(1, 2))
+    Mx = jnp.where(masks, xs[None, None, :], -big).max(axis=(1, 2))
+    my = jnp.where(masks, ys[None, :, None], big).min(axis=(1, 2))
+    My = jnp.where(masks, ys[None, :, None], -big).max(axis=(1, 2))
+    boxes = jnp.stack([mx, my, Mx, My], axis=-1)
+    return jnp.where(any_mask[:, None], boxes, 0.0)
+
+
+def nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float) -> jax.Array:
+    """Greedy NMS keep *mask* (N,) bool.
+
+    Exact semantics of the reference kernel
+    (``csrc/ops/cpu/nms_kernel.cpp:48-75``): process boxes in descending
+    score order; a box is kept iff no higher-scored *kept* box has
+    ``IoU > iou_threshold`` with it.
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    sorted_boxes = boxes[order]
+    iou = box_iou(sorted_boxes, sorted_boxes)
+    sup = iou > iou_threshold
+
+    def body(i, keep):
+        # if box i survives, suppress all later boxes overlapping it
+        row = sup[i] & (jnp.arange(n) > i)
+        return jnp.where(keep[i], keep & ~row, keep)
+
+    keep_sorted = lax.fori_loop(0, n, body, jnp.ones((n,), bool))
+    # scatter back to input order
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep
+
+
+def nms_padded(
+    boxes: jax.Array,
+    scores: jax.Array,
+    iou_threshold: float,
+    max_output_size: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """NMS returning fixed-size ``(indices, count)``.
+
+    ``indices`` (K,) are kept-box indices in descending score order, padded
+    with -1; ``count`` is the number of valid entries.  TPU-native stand-in
+    for the reference's dynamically-sized index output.
+    """
+    n = boxes.shape[0]
+    k = n if max_output_size is None else min(max_output_size, n)
+    keep = nms(boxes, scores, iou_threshold)
+    masked_scores = jnp.where(keep, scores, -jnp.inf)
+    top_scores, top_idx = lax.top_k(masked_scores, k)
+    valid = top_scores > -jnp.inf
+    return jnp.where(valid, top_idx, -1), jnp.sum(valid.astype(jnp.int32))
+
+
+def batched_nms(
+    boxes: jax.Array,
+    scores: jax.Array,
+    idxs: jax.Array,
+    iou_threshold: float,
+) -> jax.Array:
+    """Class/batch-aware NMS keep mask via the coordinate-offset trick
+    (reference ``batched_nms`` / ``_batched_nms_coordinate_trick``,
+    ``ops/boxes.py:44-96``): boxes of different ``idxs`` never overlap."""
+    if boxes.shape[0] == 0:
+        return jnp.zeros((0,), bool)
+    max_coord = jnp.max(boxes)
+    offsets = idxs.astype(boxes.dtype) * (max_coord + 1.0)
+    shifted = boxes + offsets[:, None]
+    return nms(shifted, scores, iou_threshold)
