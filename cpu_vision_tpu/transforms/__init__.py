@@ -1,0 +1,59 @@
+"""Transforms: typed functional API + class transforms (v2-style).
+
+Counterpart of the reference's ``torchvision.transforms`` /
+``torchvision.transforms.v2``: the class API pytree-walks arbitrary
+(image, boxes, masks) structures, dispatching per-type kernels registered in
+``cpu_vision_tpu.transforms.functional``.
+"""
+
+from . import functional  # noqa: F401
+from ._augment import CutMix, MixUp, RandomErasing  # noqa: F401
+from ._auto_augment import AugMix, AutoAugment, RandAugment, TrivialAugmentWide  # noqa: F401
+from ._color import (  # noqa: F401
+    ColorJitter,
+    GaussianBlur,
+    GaussianNoise,
+    Grayscale,
+    RandomAdjustSharpness,
+    RandomAutocontrast,
+    RandomChannelPermutation,
+    RandomEqualize,
+    RandomGrayscale,
+    RandomInvert,
+    RandomPhotometricDistort,
+    RandomPosterize,
+    RandomSolarize,
+)
+from ._container import Compose, RandomApply, RandomChoice, RandomOrder  # noqa: F401
+from ._geometry import (  # noqa: F401
+    CenterCrop,
+    ElasticTransform,
+    FiveCrop,
+    Pad,
+    RandomAffine,
+    RandomCrop,
+    RandomHorizontalFlip,
+    RandomPerspective,
+    RandomResize,
+    RandomResizedCrop,
+    RandomRotation,
+    RandomShortestSize,
+    RandomVerticalFlip,
+    RandomZoomOut,
+    Resize,
+    ScaleJitter,
+    TenCrop,
+)
+from ._misc import (  # noqa: F401
+    ClampBoundingBoxes,
+    ConvertBoundingBoxFormat,
+    Identity,
+    Lambda,
+    Normalize,
+    SanitizeBoundingBoxes,
+    ToDtype,
+    ToImage,
+    ToPureArray,
+)
+from ._registry import register_kernel  # noqa: F401
+from ._transform import Transform  # noqa: F401

@@ -1,0 +1,516 @@
+"""Typed functional transforms.
+
+Each functional dispatches on input type (Image / Video / Mask /
+BoundingBoxes) like the reference's v2 functionals
+(``transforms/v2/functional/``): images get the real kernel from
+``cpu_vision_tpu.ops``; masks ride the image geometry kernels with nearest
+interpolation and zero fill; bounding boxes get coordinate math + canvas
+updates (``v2/functional/_geometry.py``); color ops pass boxes/masks through
+untouched.
+
+All geometry is channels-last; sizes are (height, width) static ints.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from .. import ops
+from .._dtype import to_dtype as _to_dtype_arr
+from ..tv_arrays import BoundingBoxes, Image, Mask, TVArray, Video, wrap
+from ._registry import dispatch, register_kernel
+
+__all__ = [
+    "horizontal_flip",
+    "vertical_flip",
+    "resize",
+    "crop",
+    "center_crop",
+    "resized_crop",
+    "pad",
+    "affine",
+    "rotate",
+    "perspective",
+    "elastic",
+    "gaussian_blur",
+    "gaussian_noise",
+    "adjust_brightness",
+    "adjust_contrast",
+    "adjust_saturation",
+    "adjust_hue",
+    "adjust_gamma",
+    "adjust_sharpness",
+    "posterize",
+    "solarize",
+    "autocontrast",
+    "equalize",
+    "invert",
+    "rgb_to_grayscale",
+    "normalize",
+    "to_dtype",
+    "erase",
+    "convert_bounding_box_format",
+    "clamp_bounding_boxes",
+    "sanitize_bounding_boxes_mask",
+    "get_size",
+]
+
+
+# --------------------------------------------------------------- helpers
+
+
+def get_size(inpt) -> Tuple[int, int]:
+    """(height, width) of any TV input."""
+    if isinstance(inpt, BoundingBoxes):
+        return tuple(inpt.canvas_size)
+    data = inpt.data if isinstance(inpt, TVArray) else jnp.asarray(inpt)
+    if isinstance(inpt, Mask):
+        # HW, NHW or NHWC mask: heuristics — trailing dims (H, W) unless 4D
+        if data.ndim == 2:
+            return data.shape[0], data.shape[1]
+        if data.ndim == 3:
+            return data.shape[1], data.shape[2]
+        return data.shape[-3], data.shape[-2]
+    if isinstance(inpt, Video):
+        return data.shape[-3], data.shape[-2]
+    if data.ndim == 2:
+        return data.shape[0], data.shape[1]
+    return data.shape[-3], data.shape[-2]
+
+
+def _mask_as_image(data):
+    """Mask (HW / NHW) -> image-kernel-compatible array + restore fn."""
+    if data.ndim == 2:
+        return data[:, :, None], lambda x: x[:, :, 0]
+    if data.ndim == 3:  # NHW: instance masks -> treat N as channels? No:
+        # put instances in the channel dim so spatial ops act per-mask
+        return jnp.moveaxis(data, 0, -1), lambda x: jnp.moveaxis(x, -1, 0)
+    return data, lambda x: x
+
+
+def _xyxy(boxes: BoundingBoxes) -> jax.Array:
+    return ops.box_convert(boxes.data, boxes.format, "xyxy")
+
+
+def _from_xyxy(data, boxes: BoundingBoxes, canvas_size=None):
+    out = ops.box_convert(data, "xyxy", boxes.format)
+    return BoundingBoxes(out, boxes.format, tuple(canvas_size or boxes.canvas_size))
+
+
+def _video_as_image(data):
+    """Video (...THWC) -> NHWC by folding time into batch."""
+    lead = data.shape[:-3]
+    flat = data.reshape((-1,) + data.shape[-3:])
+    return flat, lambda x: x.reshape(lead + x.shape[-3:])
+
+
+def _typed(image_kernel, bbox_kernel=None, mask_kernel=None, video_from_image=True):
+    """Build a dispatched functional from per-type kernels."""
+
+    def base(inpt, *a, **k):
+        raise NotImplementedError
+
+    base.__name__ = image_kernel.__name__.lstrip("_")
+    fn = dispatch(base)
+    register_kernel(fn, Image)(lambda im, *a, **k: Image(image_kernel(im.data, *a, **k)))
+    if video_from_image:
+        def _vid(v, *a, **k):
+            flat, restore = _video_as_image(v.data)
+            return Video(restore(image_kernel(flat, *a, **k)))
+
+        register_kernel(fn, Video)(_vid)
+    if bbox_kernel is not None:
+        register_kernel(fn, BoundingBoxes)(bbox_kernel)
+    if mask_kernel is not None:
+        register_kernel(fn, Mask)(mask_kernel)
+    return fn
+
+
+# --------------------------------------------------------------- flips
+
+
+def _hflip_image(img):
+    return jnp.flip(img, axis=-2)  # W axis in (..., H, W, C)
+
+
+def _hflip_bboxes(b: BoundingBoxes):
+    h, w = b.canvas_size
+    x1, y1, x2, y2 = jnp.moveaxis(_xyxy(b), -1, 0)
+    flipped = jnp.stack([w - x2, y1, w - x1, y2], axis=-1)
+    return _from_xyxy(flipped, b)
+
+
+def _hflip_mask(m: Mask):
+    data, restore = _mask_as_image(m.data)
+    return Mask(restore(jnp.flip(data, axis=-2)))
+
+
+horizontal_flip = _typed(_hflip_image, _hflip_bboxes, _hflip_mask)
+
+
+def _vflip_image(img):
+    return jnp.flip(img, axis=-3)
+
+
+def _vflip_bboxes(b: BoundingBoxes):
+    h, w = b.canvas_size
+    x1, y1, x2, y2 = jnp.moveaxis(_xyxy(b), -1, 0)
+    flipped = jnp.stack([x1, h - y2, x2, h - y1], axis=-1)
+    return _from_xyxy(flipped, b)
+
+
+def _vflip_mask(m: Mask):
+    data, restore = _mask_as_image(m.data)
+    return Mask(restore(jnp.flip(data, axis=-3)))
+
+
+vertical_flip = _typed(_vflip_image, _vflip_bboxes, _vflip_mask)
+
+
+# --------------------------------------------------------------- resize
+
+
+def _resize_image(img, size, interpolation="bilinear", antialias=True):
+    return ops.resize(img, size, interpolation, antialias)
+
+
+def _resize_bboxes(b: BoundingBoxes, size, interpolation="bilinear", antialias=True):
+    oh, ow = int(size[0]), int(size[1])
+    h, w = b.canvas_size
+    ratios = jnp.asarray([ow / w, oh / h, ow / w, oh / h], jnp.float32)
+    return _from_xyxy(_xyxy(b) * ratios, b, canvas_size=(oh, ow))
+
+
+def _resize_mask(m: Mask, size, interpolation="nearest", antialias=False):
+    data, restore = _mask_as_image(m.data)
+    return Mask(restore(ops.resize(data, size, "nearest", False)))
+
+
+resize = _typed(_resize_image, _resize_bboxes, _resize_mask)
+
+
+# --------------------------------------------------------------- crop/pad
+
+
+def _crop_image(img, top, left, height, width):
+    h, w = (img.shape[-3], img.shape[-2]) if img.ndim >= 3 else img.shape
+    # pad if the crop window exceeds the image (reference pads with 0)
+    pt = max(0, -top)
+    pl = max(0, -left)
+    pb = max(0, top + height - h)
+    pr = max(0, left + width - w)
+    if pt or pl or pb or pr:
+        img = ops.pad2d(img, (pl, pr, pt, pb), mode="constant", value=0)
+        top, left = top + pt, left + pl
+    if img.ndim == 2:
+        return jax.lax.dynamic_slice(img, (top, left), (height, width))
+    lead = img.shape[:-3]
+    start = (0,) * len(lead) + (top, left, 0)
+    sizes = lead + (height, width, img.shape[-1])
+    return jax.lax.dynamic_slice(img, start, sizes)
+
+
+def _crop_bboxes(b: BoundingBoxes, top, left, height, width):
+    shifted = _xyxy(b) - jnp.asarray([left, top, left, top], jnp.float32)
+    return _from_xyxy(shifted, b, canvas_size=(height, width))
+
+
+def _crop_mask(m: Mask, top, left, height, width):
+    data, restore = _mask_as_image(m.data)
+    return Mask(restore(_crop_image(data, top, left, height, width)))
+
+
+crop = _typed(_crop_image, _crop_bboxes, _crop_mask)
+
+
+def _center_crop_dims(h, w, ch, cw):
+    top = (h - ch) // 2 if ch <= h else -((ch - h) // 2)
+    left = (w - cw) // 2 if cw <= w else -((cw - w) // 2)
+    # reference: crop_top = int(round((image_height - crop_height) / 2.0))
+    top = int(round((h - ch) / 2.0))
+    left = int(round((w - cw) / 2.0))
+    return top, left
+
+
+def _center_crop_image(img, output_size):
+    ch, cw = (output_size, output_size) if isinstance(output_size, int) else output_size
+    h, w = (img.shape[-3], img.shape[-2]) if img.ndim >= 3 else img.shape
+    top, left = _center_crop_dims(h, w, ch, cw)
+    return _crop_image(img, top, left, ch, cw)
+
+
+def _center_crop_bboxes(b: BoundingBoxes, output_size):
+    ch, cw = (output_size, output_size) if isinstance(output_size, int) else output_size
+    h, w = b.canvas_size
+    top, left = _center_crop_dims(h, w, ch, cw)
+    return _crop_bboxes(b, top, left, ch, cw)
+
+
+def _center_crop_mask(m: Mask, output_size):
+    data, restore = _mask_as_image(m.data)
+    return Mask(restore(_center_crop_image(data, output_size)))
+
+
+center_crop = _typed(_center_crop_image, _center_crop_bboxes, _center_crop_mask)
+
+
+def _resized_crop_image(img, top, left, height, width, size, interpolation="bilinear", antialias=True):
+    return _resize_image(_crop_image(img, top, left, height, width), size, interpolation, antialias)
+
+
+def _resized_crop_bboxes(b, top, left, height, width, size, interpolation="bilinear", antialias=True):
+    return _resize_bboxes(_crop_bboxes(b, top, left, height, width), size)
+
+
+def _resized_crop_mask(m, top, left, height, width, size, interpolation="nearest", antialias=False):
+    return _resize_mask(_crop_mask(m, top, left, height, width), size)
+
+
+resized_crop = _typed(_resized_crop_image, _resized_crop_bboxes, _resized_crop_mask)
+
+
+def _pad_image(img, padding, fill=0, padding_mode="constant"):
+    l, t, r, b = _parse_pad(padding)
+    return ops.pad2d(img, (l, r, t, b), mode=padding_mode, value=fill)
+
+
+def _parse_pad(padding):
+    """torch pad order: int | [pad] | [l/r, t/b] | [l, t, r, b]."""
+    if isinstance(padding, int):
+        return padding, padding, padding, padding
+    if len(padding) == 1:
+        return padding[0], padding[0], padding[0], padding[0]
+    if len(padding) == 2:
+        return padding[0], padding[1], padding[0], padding[1]
+    return padding[0], padding[1], padding[2], padding[3]
+
+
+def _pad_bboxes(b: BoundingBoxes, padding, fill=0, padding_mode="constant"):
+    l, t, r, bt = _parse_pad(padding)
+    h, w = b.canvas_size
+    shifted = _xyxy(b) + jnp.asarray([l, t, l, t], jnp.float32)
+    return _from_xyxy(shifted, b, canvas_size=(h + t + bt, w + l + r))
+
+
+def _pad_mask(m: Mask, padding, fill=0, padding_mode="constant"):
+    data, restore = _mask_as_image(m.data)
+    return Mask(restore(_pad_image(data, padding, fill, padding_mode)))
+
+
+pad = _typed(_pad_image, _pad_bboxes, _pad_mask)
+
+
+# --------------------------------------------------------------- affine family
+
+
+def _affine_matrix(angle, translate, scale, shear, center):
+    return ops.get_inverse_affine_matrix(center, angle, translate, scale, shear)
+
+
+def _affine_image(img, angle=0.0, translate=(0, 0), scale=1.0, shear=(0.0, 0.0),
+                  interpolation="bilinear", fill=None, center=None):
+    h, w = (img.shape[-3], img.shape[-2]) if img.ndim >= 3 else img.shape
+    ctr = (0.0, 0.0) if center is None else (center[0] - w * 0.5, center[1] - h * 0.5)
+    matrix = _affine_matrix(angle, translate, scale, shear, ctr)
+    return ops.affine(img, matrix, interpolation, fill)
+
+
+def _affine_bboxes(b: BoundingBoxes, angle=0.0, translate=(0, 0), scale=1.0,
+                   shear=(0.0, 0.0), interpolation="bilinear", fill=None, center=None):
+    """Forward-transform the 4 corners, take the enclosing box (reference
+    ``_affine_bounding_boxes_with_expand``, ``v2/functional/_geometry.py:850``)."""
+    h, w = b.canvas_size
+    ctr = (w * 0.5, h * 0.5) if center is None else tuple(center)
+    fwd = ops.get_inverse_affine_matrix(ctr, angle, tuple(translate), scale, tuple(shear))
+    # invert the inverse 2x3 to get the forward map
+    a, bb, c0, d, e, f0 = fwd
+    det = a * e - bb * d
+    fa, fb = e / det, -bb / det
+    fd, fe = -d / det, a / det
+    fc = -(fa * c0 + fb * f0)
+    ff = -(fd * c0 + fe * f0)
+    xy = _xyxy(b)
+    x1, y1, x2, y2 = jnp.moveaxis(xy, -1, 0)
+    cx = jnp.stack([x1, x2, x1, x2], -1)
+    cy = jnp.stack([y1, y1, y2, y2], -1)
+    nx = fa * cx + fb * cy + fc
+    ny = fd * cx + fe * cy + ff
+    out = jnp.stack([nx.min(-1), ny.min(-1), nx.max(-1), ny.max(-1)], -1)
+    return _from_xyxy(out, b)
+
+
+def _affine_mask(m: Mask, angle=0.0, translate=(0, 0), scale=1.0, shear=(0.0, 0.0),
+                 interpolation="nearest", fill=None, center=None):
+    data, restore = _mask_as_image(m.data)
+    return Mask(restore(_affine_image(data, angle, translate, scale, shear, "nearest", 0, center)))
+
+
+affine = _typed(_affine_image, _affine_bboxes, _affine_mask)
+
+
+def _rotate_image(img, angle, interpolation="nearest", expand=False, center=None, fill=None):
+    return ops.rotate(img, angle, interpolation, expand, center, fill)
+
+
+def _rotate_bboxes(b: BoundingBoxes, angle, interpolation="nearest", expand=False,
+                   center=None, fill=None):
+    h, w = b.canvas_size
+    out = _affine_bboxes(b, angle=-angle, center=center)
+    if expand:
+        ctr = (0.0, 0.0) if center is None else (center[0] - w * 0.5, center[1] - h * 0.5)
+        matrix = ops.get_inverse_affine_matrix(ctr, -angle, (0.0, 0.0), 1.0, (0.0, 0.0))
+        ow, oh = ops.warp._compute_affine_output_size(matrix, w, h)
+        shift = jnp.asarray([(ow - w) * 0.5, (oh - h) * 0.5] * 2, jnp.float32)
+        out = BoundingBoxes(
+            ops.box_convert(ops.box_convert(out.data, out.format, "xyxy") + shift, "xyxy", out.format),
+            out.format,
+            (oh, ow),
+        )
+    return out
+
+
+def _rotate_mask(m: Mask, angle, interpolation="nearest", expand=False, center=None, fill=None):
+    data, restore = _mask_as_image(m.data)
+    return Mask(restore(_rotate_image(data, angle, "nearest", expand, center, 0)))
+
+
+rotate = _typed(_rotate_image, _rotate_bboxes, _rotate_mask)
+
+
+def _perspective_image(img, coeffs, interpolation="bilinear", fill=None):
+    return ops.perspective(img, coeffs, interpolation, fill)
+
+
+def _perspective_bboxes(b: BoundingBoxes, coeffs, interpolation="bilinear", fill=None):
+    """Forward-map corners with the inverse of the perspective coeffs."""
+    import numpy as np
+
+    c = list(coeffs)
+    m = np.array([[c[0], c[1], c[2]], [c[3], c[4], c[5]], [c[6], c[7], 1.0]], np.float64)
+    inv = np.linalg.inv(m).astype(np.float32)
+    xy = _xyxy(b)
+    x1, y1, x2, y2 = jnp.moveaxis(xy, -1, 0)
+    cx = jnp.stack([x1, x2, x1, x2], -1)
+    cy = jnp.stack([y1, y1, y2, y2], -1)
+    denom = inv[2, 0] * cx + inv[2, 1] * cy + inv[2, 2]
+    nx = (inv[0, 0] * cx + inv[0, 1] * cy + inv[0, 2]) / denom
+    ny = (inv[1, 0] * cx + inv[1, 1] * cy + inv[1, 2]) / denom
+    out = jnp.stack([nx.min(-1), ny.min(-1), nx.max(-1), ny.max(-1)], -1)
+    return _from_xyxy(out, b)
+
+
+def _perspective_mask(m: Mask, coeffs, interpolation="nearest", fill=None):
+    data, restore = _mask_as_image(m.data)
+    return Mask(restore(_perspective_image(data, coeffs, "nearest", 0)))
+
+
+perspective = _typed(_perspective_image, _perspective_bboxes, _perspective_mask)
+
+
+def _elastic_image(img, displacement, interpolation="bilinear", fill=None):
+    return ops.elastic(img, displacement, interpolation, fill)
+
+
+def _elastic_mask(m: Mask, displacement, interpolation="nearest", fill=None):
+    data, restore = _mask_as_image(m.data)
+    return Mask(restore(_elastic_image(data, displacement, "nearest", 0)))
+
+
+elastic = _typed(_elastic_image, None, _elastic_mask)
+
+
+# --------------------------------------------------------------- color
+
+
+def _color_fn(op):
+    def image_kernel(img, *a, **k):
+        return op(img, *a, **k)
+
+    image_kernel.__name__ = op.__name__
+    return _typed(image_kernel)
+
+
+gaussian_blur = _color_fn(ops.gaussian_blur)
+adjust_brightness = _color_fn(ops.adjust_brightness)
+adjust_contrast = _color_fn(ops.adjust_contrast)
+adjust_saturation = _color_fn(ops.adjust_saturation)
+adjust_hue = _color_fn(ops.adjust_hue)
+adjust_gamma = _color_fn(ops.adjust_gamma)
+adjust_sharpness = _color_fn(ops.adjust_sharpness)
+posterize = _color_fn(ops.posterize)
+solarize = _color_fn(ops.solarize)
+autocontrast = _color_fn(ops.autocontrast)
+equalize = _color_fn(ops.equalize)
+invert = _color_fn(ops.invert)
+rgb_to_grayscale = _color_fn(ops.rgb_to_grayscale)
+normalize = _color_fn(ops.normalize)
+
+
+def _gaussian_noise_image(img, key, mean=0.0, sigma=0.1, clip=True):
+    """Additive gaussian noise on float images (reference
+    ``gaussian_noise``, v2)."""
+    noise = mean + jax.random.normal(key, jnp.shape(img), jnp.asarray(img).dtype) * sigma
+    out = jnp.asarray(img) + noise
+    return jnp.clip(out, 0.0, 1.0) if clip else out
+
+
+gaussian_noise = _typed(_gaussian_noise_image)
+
+
+# --------------------------------------------------------------- misc
+
+
+def _to_dtype_image(img, dtype, scale=False):
+    return _to_dtype_arr(img, dtype, scale)
+
+
+to_dtype = _typed(_to_dtype_image)
+
+
+def _erase_image(img, i, j, h, w, v):
+    region = jnp.broadcast_to(jnp.asarray(v, jnp.asarray(img).dtype), (h, w, img.shape[-1]) if img.ndim >= 3 else (h, w))
+    if img.ndim == 2:
+        return jax.lax.dynamic_update_slice(img, region, (i, j))
+    lead = img.shape[:-3]
+    region_b = jnp.broadcast_to(region, lead + region.shape)
+    start = (0,) * len(lead) + (i, j, 0)
+    return jax.lax.dynamic_update_slice(img, region_b, start)
+
+
+erase = _typed(_erase_image)
+
+
+# --------------------------------------------------------------- boxes only
+
+
+def convert_bounding_box_format(boxes: BoundingBoxes, new_format: str) -> BoundingBoxes:
+    return BoundingBoxes(
+        ops.box_convert(boxes.data, boxes.format, new_format), new_format, tuple(boxes.canvas_size)
+    )
+
+
+def clamp_bounding_boxes(boxes: BoundingBoxes) -> BoundingBoxes:
+    h, w = boxes.canvas_size
+    xyxy = ops.box_convert(boxes.data, boxes.format, "xyxy")
+    clamped = ops.clip_boxes_to_image(xyxy, (h, w))
+    return BoundingBoxes(
+        ops.box_convert(clamped, "xyxy", boxes.format), boxes.format, tuple(boxes.canvas_size)
+    )
+
+
+def sanitize_bounding_boxes_mask(boxes: BoundingBoxes, min_size: float = 1.0, min_area: float = 1.0):
+    """Validity mask for degenerate boxes (reference
+    ``SanitizeBoundingBoxes``, ``v2/_misc.py:342``): inside canvas, both
+    sides >= min_size, area >= min_area.  Returns a bool mask (fixed-shape
+    analog of the reference's filtering)."""
+    h, w = boxes.canvas_size
+    xyxy = ops.box_convert(boxes.data, boxes.format, "xyxy")
+    ws = xyxy[..., 2] - xyxy[..., 0]
+    hs = xyxy[..., 3] - xyxy[..., 1]
+    ok = (ws >= min_size) & (hs >= min_size) & (ws * hs >= min_area)
+    ok &= (xyxy[..., 0] < w) & (xyxy[..., 1] < h) & (xyxy[..., 2] > 0) & (xyxy[..., 3] > 0)
+    return ok
