@@ -1,0 +1,174 @@
+"""Reusable NN building blocks (flax.linen, NHWC).
+
+Counterpart of the reference's ``torchvision/ops/misc.py``:
+``FrozenBatchNorm2d`` (:13), ``Conv2dNormActivation``/``Conv3dNormActivation``
+(:125,175), ``SqueezeExcitation`` (:224), ``MLP`` (:263), plus
+``StochasticDepth`` (``ops/stochastic_depth.py:53``) and ``Permute``.
+
+TPU notes: convs are NHWC, default dtype is configurable for bf16 compute
+with f32 params (the standard TPU mixed-precision recipe).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "Conv",
+    "ConvNormActivation",
+    "Conv2dNormActivation",
+    "SqueezeExcitation",
+    "MLP",
+    "FrozenBatchNorm",
+    "StochasticDepth",
+    "Permute",
+]
+
+ModuleDef = Any
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class Conv(nn.Conv):
+    """``nn.Conv`` with torch-style 'same-for-odd-kernels' default padding."""
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics and affine params (reference
+    ``FrozenBatchNorm2d``, ``ops/misc.py:13``): used by detection backbones
+    where batch stats must not update."""
+
+    features: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.variable("batch_stats", "scale", lambda: jnp.ones((self.features,)))
+        bias = self.variable("batch_stats", "bias", lambda: jnp.zeros((self.features,)))
+        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.features,)))
+        var = self.variable("batch_stats", "var", lambda: jnp.ones((self.features,)))
+        w = (scale.value * jax.lax.rsqrt(var.value + self.eps)).astype(self.dtype)
+        b = (bias.value - mean.value * scale.value * jax.lax.rsqrt(var.value + self.eps)).astype(self.dtype)
+        return x * w + b
+
+
+class ConvNormActivation(nn.Module):
+    """Conv -> Norm -> Activation (reference ``ConvNormActivation``,
+    ``ops/misc.py:70-170``)."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    groups: int = 1
+    dilation: Union[int, Tuple[int, int]] = 1
+    norm: Optional[str] = "batch"  # "batch" | "frozen" | "layer" | None
+    activation: Optional[Callable] = nn.relu
+    bias: Optional[bool] = None
+    padding: Optional[Union[str, int]] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = _pair(self.kernel_size)
+        d = _pair(self.dilation)
+        if self.padding is None:
+            pad = [(((ki - 1) // 2) * di,) * 2 for ki, di in zip(k, d)]
+        elif isinstance(self.padding, int):
+            pad = [(self.padding, self.padding)] * 2
+        else:
+            pad = self.padding
+        use_bias = self.bias if self.bias is not None else self.norm is None
+        x = nn.Conv(
+            self.features,
+            k,
+            strides=_pair(self.strides),
+            padding=pad,
+            feature_group_count=self.groups,
+            kernel_dilation=d,
+            use_bias=use_bias,
+            dtype=self.dtype,
+        )(x)
+        if self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype)(x)
+        elif self.norm == "frozen":
+            x = FrozenBatchNorm(self.features, dtype=self.dtype)(x)
+        elif self.norm == "layer":
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+Conv2dNormActivation = ConvNormActivation
+
+
+class SqueezeExcitation(nn.Module):
+    """Squeeze-and-Excitation (reference ``SqueezeExcitation``,
+    ``ops/misc.py:224``)."""
+
+    squeeze_features: int
+    activation: Callable = nn.relu
+    scale_activation: Callable = nn.sigmoid
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        s = nn.Conv(self.squeeze_features, (1, 1), dtype=self.dtype)(s)
+        s = self.activation(s)
+        s = nn.Conv(c, (1, 1), dtype=self.dtype)(s)
+        return x * self.scale_activation(s)
+
+
+class MLP(nn.Module):
+    """MLP head (reference ``MLP``, ``ops/misc.py:263``)."""
+
+    hidden_features: Sequence[int]
+    activation: Callable = nn.relu
+    dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, h in enumerate(self.hidden_features):
+            x = nn.Dense(h, dtype=self.dtype)(x)
+            if i < len(self.hidden_features) - 1:
+                x = self.activation(x)
+                if self.dropout_rate > 0:
+                    x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return x
+
+
+class StochasticDepth(nn.Module):
+    """Module wrapper over ``ops.stochastic_depth`` (reference
+    ``StochasticDepth``, ``ops/stochastic_depth.py:53``)."""
+
+    p: float
+    mode: str = "row"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..ops import stochastic_depth
+
+        if not train or self.p == 0.0:
+            return x
+        key = self.make_rng("dropout")
+        return stochastic_depth(x, self.p, self.mode, True, key)
+
+
+class Permute(nn.Module):
+    dims: Tuple[int, ...]
+
+    def __call__(self, x):
+        return jnp.transpose(x, self.dims)

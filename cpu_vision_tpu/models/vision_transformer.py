@@ -1,0 +1,97 @@
+"""Vision Transformer (reference ``torchvision/models/vision_transformer.py``):
+patchify conv, class token, learned position embeddings, pre-LN encoder.
+
+TPU: attention and MLP are plain ``nn.Dense``/``dot_general`` — all MXU;
+use ``dtype=jnp.bfloat16`` for the standard mixed-precision recipe.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ._api import register_model
+
+__all__ = ["VisionTransformer", "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32", "vit_h_14"]
+
+
+class EncoderBlock(nn.Module):
+    num_heads: int
+    mlp_dim: int
+    dropout: float
+    attention_dropout: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dropout_rate=self.attention_dropout,
+            deterministic=not train,
+            dtype=self.dtype,
+        )(h, h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = x + h
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        h = nn.Dense(self.mlp_dim, dtype=self.dtype)(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype)(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    patch_size: int
+    num_layers: int
+    num_heads: int
+    hidden_dim: int
+    mlp_dim: int
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        p = self.patch_size
+        if h % p or w % p:
+            raise ValueError(f"image size {(h, w)} not divisible by patch size {p}")
+        x = nn.Conv(self.hidden_dim, (p, p), (p, p), padding="VALID", dtype=self.dtype)(x)
+        x = x.reshape(n, -1, self.hidden_dim)  # (N, S, D)
+        cls = self.param("class_token", nn.initializers.zeros, (1, 1, self.hidden_dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (n, 1, self.hidden_dim)).astype(x.dtype), x], axis=1)
+        pos = self.param(
+            "pos_embedding",
+            nn.initializers.normal(stddev=0.02),
+            (1, x.shape[1], self.hidden_dim),
+        )
+        x = x + pos.astype(x.dtype)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        for i in range(self.num_layers):
+            x = EncoderBlock(self.num_heads, self.mlp_dim, self.dropout,
+                             self.attention_dropout, dtype=self.dtype,
+                             name=f"encoder_{i}")(x, train)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        x = x[:, 0]
+        return nn.Dense(self.num_classes, dtype=self.dtype)(x)
+
+
+def _make(name, patch, layers, heads, hidden, mlp):
+    def builder(*, num_classes: int = 1000, dtype=jnp.float32, **kwargs):
+        return VisionTransformer(patch, layers, heads, hidden, mlp,
+                                 num_classes=num_classes, dtype=dtype, **kwargs)
+
+    builder.__name__ = name
+    return register_model(name)(builder)
+
+
+vit_b_16 = _make("vit_b_16", 16, 12, 12, 768, 3072)
+vit_b_32 = _make("vit_b_32", 32, 12, 12, 768, 3072)
+vit_l_16 = _make("vit_l_16", 16, 24, 16, 1024, 4096)
+vit_l_32 = _make("vit_l_32", 32, 24, 16, 1024, 4096)
+vit_h_14 = _make("vit_h_14", 14, 32, 16, 1280, 5120)
