@@ -1,0 +1,15 @@
+"""Datasets: base classes, folder trees, MNIST/CIFAR families, FakeData,
+batching/loading helpers (counterpart of ``torchvision/datasets``)."""
+
+from .cifar import CIFAR10, CIFAR100  # noqa: F401
+from .fakedata import FakeData  # noqa: F401
+from .folder import DatasetFolder, ImageFolder  # noqa: F401
+from .loader import DataLoader  # noqa: F401
+from .mnist import KMNIST, MNIST, FashionMNIST  # noqa: F401
+from .utils import (  # noqa: F401
+    check_integrity,
+    download_and_extract_archive,
+    download_url,
+    extract_archive,
+)
+from .vision import StandardTransform, VisionDataset  # noqa: F401

@@ -1,0 +1,69 @@
+"""Minimal batching data loader.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` worker-process
+machinery (the host side of SURVEY §3.4) with a simple epoch iterator:
+numpy batching + optional shuffling + drop_last, producing NHWC stacks ready
+for ``jax.device_put``/sharding.  TPU input pipelines at scale should stream
+via ``shard_batch``; this covers the reference-script use case.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["DataLoader", "default_collate"]
+
+
+def default_collate(samples: Sequence):
+    """Stack a list of (sample, target) pairs into arrays (counterpart of
+    torch's default_collate)."""
+    first = samples[0]
+    if isinstance(first, tuple):
+        return tuple(default_collate([s[i] for s in samples]) for i in range(len(first)))
+    if isinstance(first, dict):
+        return {k: default_collate([s[k] for s in samples]) for k in first}
+    if isinstance(first, (int, float)):
+        return np.asarray(samples)
+    return np.stack([np.asarray(s) for s in samples])
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        collate_fn: Callable = default_collate,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            yield self.collate_fn([self.dataset[int(i)] for i in idx])

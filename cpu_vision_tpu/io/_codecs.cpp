@@ -1,0 +1,273 @@
+// Native image codecs: JPEG/PNG decode + encode over libjpeg/libpng.
+//
+// Counterpart of the reference's C++ image extension
+// (torchvision csrc/io/image/cpu/{decode_jpeg,decode_png,encode_jpeg,
+// encode_png}.cpp and the magic-byte sniffing of decode_image.cpp:31-83),
+// re-designed as a plain C ABI for ctypes: decode on the host, hand HWC
+// uint8 buffers straight to device transfer — no framework tensor types in
+// the boundary.
+//
+// Build: see cpu_vision_tpu/io/build.sh (g++ -shared -ljpeg -lpng).
+
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------- common
+
+void cvt_free(uint8_t* p) { std::free(p); }
+
+// error codes
+enum {
+  CVT_OK = 0,
+  CVT_ERR_FORMAT = 1,
+  CVT_ERR_DECODE = 2,
+  CVT_ERR_ALLOC = 3,
+  CVT_ERR_ARGS = 4,
+};
+
+// 0 = unknown, 1 = jpeg, 2 = png, 3 = webp, 4 = gif, 5 = bmp
+int cvt_sniff(const uint8_t* data, size_t len) {
+  if (len >= 3 && data[0] == 0xFF && data[1] == 0xD8 && data[2] == 0xFF) return 1;
+  if (len >= 8 && !std::memcmp(data, "\x89PNG\r\n\x1a\n", 8)) return 2;
+  if (len >= 12 && !std::memcmp(data, "RIFF", 4) && !std::memcmp(data + 8, "WEBP", 4)) return 3;
+  if (len >= 6 && (!std::memcmp(data, "GIF87a", 6) || !std::memcmp(data, "GIF89a", 6))) return 4;
+  if (len >= 2 && data[0] == 'B' && data[1] == 'M') return 5;
+  return 0;
+}
+
+// ---------------------------------------------------------------- jpeg
+
+struct CvtJpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+static void cvt_jpeg_error_exit(j_common_ptr cinfo) {
+  CvtJpegErr* err = reinterpret_cast<CvtJpegErr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode JPEG bytes to HWC uint8 (grayscale stays 1 channel, else RGB).
+int cvt_decode_jpeg(const uint8_t* data, size_t len, uint8_t** out, int* h,
+                    int* w, int* c) {
+  if (!data || !out || !h || !w || !c) return CVT_ERR_ARGS;
+  jpeg_decompress_struct cinfo;
+  CvtJpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = cvt_jpeg_error_exit;
+  uint8_t* buffer = nullptr;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::free(buffer);
+    return CVT_ERR_DECODE;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return CVT_ERR_FORMAT;
+  }
+  cinfo.out_color_space = cinfo.num_components == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const int H = cinfo.output_height;
+  const int W = cinfo.output_width;
+  const int C = cinfo.output_components;
+  const size_t stride = static_cast<size_t>(W) * C;
+  buffer = static_cast<uint8_t*>(std::malloc(static_cast<size_t>(H) * stride));
+  if (!buffer) {
+    jpeg_destroy_decompress(&cinfo);
+    return CVT_ERR_ALLOC;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = buffer + cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *out = buffer;
+  *h = H;
+  *w = W;
+  *c = C;
+  return CVT_OK;
+}
+
+// Encode HWC uint8 (1 or 3 channels) to JPEG.
+int cvt_encode_jpeg(const uint8_t* img, int h, int w, int c, int quality,
+                    uint8_t** out, size_t* out_len) {
+  if (!img || !out || !out_len || (c != 1 && c != 3)) return CVT_ERR_ARGS;
+  jpeg_compress_struct cinfo;
+  CvtJpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = cvt_jpeg_error_exit;
+  uint8_t* mem = nullptr;
+  unsigned long mem_size = 0;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_compress(&cinfo);
+    std::free(mem);
+    return CVT_ERR_DECODE;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &mem, &mem_size);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = c;
+  cinfo.in_color_space = c == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  const size_t stride = static_cast<size_t>(w) * c;
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(img) + cinfo.next_scanline * stride;
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  // mem is allocated by libjpeg with malloc; hand it to the caller
+  *out = mem;
+  *out_len = mem_size;
+  return CVT_OK;
+}
+
+// ---------------------------------------------------------------- png
+
+struct CvtPngReader {
+  const uint8_t* data;
+  size_t len;
+  size_t pos;
+};
+
+static void cvt_png_read(png_structp png, png_bytep dst, png_size_t n) {
+  CvtPngReader* r = static_cast<CvtPngReader*>(png_get_io_ptr(png));
+  if (r->pos + n > r->len) {
+    png_error(png, "read past end");
+    return;
+  }
+  std::memcpy(dst, r->data + r->pos, n);
+  r->pos += n;
+}
+
+// Decode PNG bytes to HWC uint8 (8-bit; 16-bit inputs are scaled down;
+// palette/gray expanded; alpha preserved).
+int cvt_decode_png(const uint8_t* data, size_t len, uint8_t** out, int* h,
+                   int* w, int* c) {
+  if (!data || !out || !h || !w || !c) return CVT_ERR_ARGS;
+  if (png_sig_cmp(data, 0, len < 8 ? len : 8)) return CVT_ERR_FORMAT;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return CVT_ERR_ALLOC;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return CVT_ERR_ALLOC;
+  }
+  uint8_t* buffer = nullptr;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::free(buffer);
+    return CVT_ERR_DECODE;
+  }
+  CvtPngReader reader{data, len, 0};
+  png_set_read_fn(png, &reader, cvt_png_read);
+  png_read_info(png, info);
+
+  png_uint_32 W, H;
+  int bit_depth, color_type;
+  png_get_IHDR(png, info, &W, &H, &bit_depth, &color_type, nullptr, nullptr, nullptr);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (bit_depth == 16) png_set_scale_16(png);
+  png_read_update_info(png, info);
+
+  const int C = png_get_channels(png, info);
+  const size_t stride = png_get_rowbytes(png, info);
+  buffer = static_cast<uint8_t*>(std::malloc(static_cast<size_t>(H) * stride));
+  if (!buffer) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return CVT_ERR_ALLOC;
+  }
+  std::vector<png_bytep> rows(H);
+  for (png_uint_32 y = 0; y < H; ++y) rows[y] = buffer + y * stride;
+  png_read_image(png, rows.data());
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  *out = buffer;
+  *h = static_cast<int>(H);
+  *w = static_cast<int>(W);
+  *c = C;
+  return CVT_OK;
+}
+
+struct CvtPngWriter {
+  std::vector<uint8_t>* out;
+};
+
+static void cvt_png_write(png_structp png, png_bytep src, png_size_t n) {
+  CvtPngWriter* wtr = static_cast<CvtPngWriter*>(png_get_io_ptr(png));
+  wtr->out->insert(wtr->out->end(), src, src + n);
+}
+
+static void cvt_png_flush(png_structp) {}
+
+// Encode HWC uint8 (1/2/3/4 channels) to PNG.
+int cvt_encode_png(const uint8_t* img, int h, int w, int c, int compression,
+                   uint8_t** out, size_t* out_len) {
+  if (!img || !out || !out_len || c < 1 || c > 4) return CVT_ERR_ARGS;
+  png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return CVT_ERR_ALLOC;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    return CVT_ERR_ALLOC;
+  }
+  std::vector<uint8_t> bytes;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    return CVT_ERR_DECODE;
+  }
+  CvtPngWriter wtr{&bytes};
+  png_set_write_fn(png, &wtr, cvt_png_write, cvt_png_flush);
+  const int color = c == 1   ? PNG_COLOR_TYPE_GRAY
+                    : c == 2 ? PNG_COLOR_TYPE_GRAY_ALPHA
+                    : c == 3 ? PNG_COLOR_TYPE_RGB
+                             : PNG_COLOR_TYPE_RGBA;
+  png_set_IHDR(png, info, w, h, 8, color, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_set_compression_level(png, compression);
+  png_write_info(png, info);
+  const size_t stride = static_cast<size_t>(w) * c;
+  for (int y = 0; y < h; ++y) {
+    png_write_row(png, const_cast<uint8_t*>(img) + y * stride);
+  }
+  png_write_end(png, info);
+  png_destroy_write_struct(&png, &info);
+  uint8_t* mem = static_cast<uint8_t*>(std::malloc(bytes.size()));
+  if (!mem) return CVT_ERR_ALLOC;
+  std::memcpy(mem, bytes.data(), bytes.size());
+  *out = mem;
+  *out_len = bytes.size();
+  return CVT_OK;
+}
+
+// Decode any supported format by sniffing (reference decode_image.cpp:31-83).
+int cvt_decode_image(const uint8_t* data, size_t len, uint8_t** out, int* h,
+                     int* w, int* c) {
+  switch (cvt_sniff(data, len)) {
+    case 1:
+      return cvt_decode_jpeg(data, len, out, h, w, c);
+    case 2:
+      return cvt_decode_png(data, len, out, h, w, c);
+    default:
+      return CVT_ERR_FORMAT;
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,6 @@
+#!/bin/sh
+# Build the native codec shim. Run from anywhere.
+set -e
+dir="$(dirname "$0")"
+g++ -O2 -shared -fPIC -o "$dir/_codecs.so" "$dir/_codecs.cpp" -ljpeg -lpng
+echo "built $dir/_codecs.so"

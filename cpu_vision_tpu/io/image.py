@@ -1,0 +1,284 @@
+"""Image encode/decode.
+
+Counterpart of the reference's ``torchvision/io/image.py`` over its C++
+``image`` extension (``csrc/io/image/image.cpp:16-38``): a native
+libjpeg/libpng shim (``_codecs.cpp``, C ABI via ctypes) decodes on the host
+into HWC uint8 NumPy buffers that feed straight into device transfers.
+Falls back to PIL when the shim isn't built.
+
+API: ``read_file``, ``decode_image``, ``decode_jpeg``, ``decode_png``,
+``encode_jpeg``, ``encode_png``, ``write_jpeg``, ``write_png``,
+``ImageReadMode`` (reference ``io/image.py:22-415``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import enum
+import os
+import subprocess
+from typing import Optional, Union
+
+import numpy as np
+
+__all__ = [
+    "ImageReadMode",
+    "read_file",
+    "write_file",
+    "decode_image",
+    "decode_jpeg",
+    "decode_png",
+    "encode_jpeg",
+    "encode_png",
+    "read_image",
+    "write_jpeg",
+    "write_png",
+]
+
+
+class ImageReadMode(enum.Enum):
+    """Reference ``ImageReadMode`` (``io/image.py:22``)."""
+
+    UNCHANGED = 0
+    GRAY = 1
+    GRAY_ALPHA = 2
+    RGB = 3
+    RGB_ALPHA = 4
+
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _so_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "_codecs.so")
+
+
+def _build_shim() -> bool:
+    src = os.path.join(os.path.dirname(__file__), "_codecs.cpp")
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", _so_path(), src, "-ljpeg", "-lpng"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load_lib():
+    """Load (building if needed) the native codec shim; None if unavailable."""
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    path = _so_path()
+    if not os.path.exists(path) and not _build_shim():
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    for name in ("cvt_decode_jpeg", "cvt_decode_png", "cvt_decode_image"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(u8p),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+    for name in ("cvt_encode_jpeg", "cvt_encode_png"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(u8p),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+    lib.cvt_free.restype = None
+    lib.cvt_free.argtypes = [u8p]
+    lib.cvt_sniff.restype = ctypes.c_int
+    lib.cvt_sniff.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    _LIB = lib
+    return _LIB
+
+
+def read_file(path: str) -> bytes:
+    """Raw bytes of a file (reference ``read_file``, ``io/image.py:46``)."""
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def write_file(path: str, data: bytes) -> None:
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _native_decode(fn_name: str, data: bytes) -> Optional[np.ndarray]:
+    lib = _load_lib()
+    if lib is None:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = u8p()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = getattr(lib, fn_name)(data, len(data), ctypes.byref(out), ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
+    if rc != 0:
+        raise ValueError(f"{fn_name} failed with code {rc}")
+    n = h.value * w.value * c.value
+    arr = np.ctypeslib.as_array(out, shape=(n,)).copy().reshape(h.value, w.value, c.value)
+    lib.cvt_free(out)
+    return arr
+
+
+def _pil_decode(data: bytes) -> np.ndarray:
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    img = PILImage.open(_io.BytesIO(data))
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def _apply_mode(arr: np.ndarray, mode: ImageReadMode) -> np.ndarray:
+    c = arr.shape[2]
+    if mode == ImageReadMode.UNCHANGED:
+        return arr
+    if mode == ImageReadMode.GRAY:
+        if c == 1:
+            return arr
+        rgb = arr[:, :, :3].astype(np.float32)
+        gray = 0.2989 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        return np.round(gray).astype(np.uint8)[:, :, None]
+    if mode == ImageReadMode.RGB:
+        if c == 3:
+            return arr
+        if c == 1:
+            return np.repeat(arr, 3, axis=2)
+        return arr[:, :, :3]
+    if mode == ImageReadMode.RGB_ALPHA:
+        if c == 4:
+            return arr
+        rgb = _apply_mode(arr, ImageReadMode.RGB)
+        alpha = np.full(rgb.shape[:2] + (1,), 255, np.uint8)
+        return np.concatenate([rgb, alpha], axis=2)
+    if mode == ImageReadMode.GRAY_ALPHA:
+        gray = _apply_mode(arr, ImageReadMode.GRAY)
+        alpha = np.full(gray.shape[:2] + (1,), 255, np.uint8)
+        return np.concatenate([gray, alpha], axis=2) if gray.shape[2] == 1 else gray
+    raise ValueError(f"unsupported mode {mode}")
+
+
+def decode_image(data: Union[bytes, str], mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
+    """Decode JPEG/PNG (magic-byte sniffing) to HWC uint8 (reference
+    ``decode_image``, ``io/image.py:284``).  Accepts bytes or a path."""
+    if isinstance(data, str):
+        data = read_file(data)
+    try:
+        arr = _native_decode("cvt_decode_image", data)
+    except ValueError:
+        arr = None
+    if arr is None:
+        arr = _pil_decode(data)
+    return _apply_mode(arr, mode)
+
+
+def decode_jpeg(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
+    arr = _native_decode("cvt_decode_jpeg", data)
+    if arr is None:
+        arr = _pil_decode(data)
+    return _apply_mode(arr, mode)
+
+
+def decode_png(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
+    arr = _native_decode("cvt_decode_png", data)
+    if arr is None:
+        arr = _pil_decode(data)
+    return _apply_mode(arr, mode)
+
+
+def _as_hwc_u8(image) -> np.ndarray:
+    arr = np.asarray(image)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.dtype != np.uint8:
+        raise TypeError(f"expected uint8 image, got {arr.dtype}")
+    return np.ascontiguousarray(arr)
+
+
+def encode_jpeg(image, quality: int = 75) -> bytes:
+    """HWC uint8 -> JPEG bytes (reference ``encode_jpeg``)."""
+    arr = _as_hwc_u8(image)
+    lib = _load_lib()
+    if lib is not None:
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        out = u8p()
+        out_len = ctypes.c_size_t()
+        rc = lib.cvt_encode_jpeg(
+            arr.tobytes(), arr.shape[0], arr.shape[1], arr.shape[2], quality,
+            ctypes.byref(out), ctypes.byref(out_len),
+        )
+        if rc != 0:
+            raise ValueError(f"encode_jpeg failed with code {rc}")
+        data = ctypes.string_at(out, out_len.value)
+        lib.cvt_free(out)
+        return data
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    buf = _io.BytesIO()
+    PILImage.fromarray(arr[:, :, 0] if arr.shape[2] == 1 else arr).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def encode_png(image, compression_level: int = 6) -> bytes:
+    """HWC uint8 -> PNG bytes (reference ``encode_png``)."""
+    arr = _as_hwc_u8(image)
+    lib = _load_lib()
+    if lib is not None:
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        out = u8p()
+        out_len = ctypes.c_size_t()
+        rc = lib.cvt_encode_png(
+            arr.tobytes(), arr.shape[0], arr.shape[1], arr.shape[2], compression_level,
+            ctypes.byref(out), ctypes.byref(out_len),
+        )
+        if rc != 0:
+            raise ValueError(f"encode_png failed with code {rc}")
+        data = ctypes.string_at(out, out_len.value)
+        lib.cvt_free(out)
+        return data
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    buf = _io.BytesIO()
+    PILImage.fromarray(arr[:, :, 0] if arr.shape[2] == 1 else arr).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def read_image(path: str, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
+    return decode_image(read_file(path), mode)
+
+
+def write_jpeg(image, path: str, quality: int = 75) -> None:
+    write_file(path, encode_jpeg(image, quality))
+
+
+def write_png(image, path: str, compression_level: int = 6) -> None:
+    write_file(path, encode_png(image, compression_level))

@@ -1,0 +1,89 @@
+"""FPN + backbone-with-FPN (reference ``torchvision/ops/
+feature_pyramid_network.py:36-238`` and ``models/detection/backbone_utils.py:13``)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["FeaturePyramidNetwork", "LastLevelMaxPool", "LastLevelP6P7", "BackboneWithFPN"]
+
+
+class FeaturePyramidNetwork(nn.Module):
+    """Top-down pyramid with lateral 1x1s and output 3x3s (reference
+    ``FeaturePyramidNetwork``, ``ops/feature_pyramid_network.py:36``)."""
+
+    out_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        names = sorted(features.keys())  # layer1..layer4 ascending depth
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name=f"inner_{n}")(features[n])
+            for n in names
+        ]
+        # top-down: upsample by 2 (nearest) and add
+        results = [None] * len(laterals)
+        last = laterals[-1]
+        results[-1] = last
+        for i in range(len(laterals) - 2, -1, -1):
+            target = laterals[i]
+            up = jnp.repeat(jnp.repeat(last, 2, axis=1), 2, axis=2)
+            up = up[:, : target.shape[1], : target.shape[2], :]
+            last = target + up
+            results[i] = last
+        outs = {
+            n: nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                       dtype=self.dtype, name=f"layer_{n}")(r)
+            for n, r in zip(names, results)
+        }
+        return outs
+
+
+class LastLevelMaxPool(nn.Module):
+    """Extra P-level by stride-2 max pool (reference ``LastLevelMaxPool``,
+    ``ops/feature_pyramid_network.py:207``)."""
+
+    def __call__(self, x):
+        return nn.max_pool(x, (1, 1), (2, 2))
+
+
+class LastLevelP6P7(nn.Module):
+    """P6/P7 for RetinaNet (reference ``LastLevelP6P7``,
+    ``ops/feature_pyramid_network.py:224``)."""
+
+    out_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, c5):
+        p6 = nn.Conv(self.out_channels, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
+                     dtype=self.dtype, name="p6")(c5)
+        p7 = nn.Conv(self.out_channels, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
+                     dtype=self.dtype, name="p7")(nn.relu(p6))
+        return p6, p7
+
+
+class BackboneWithFPN(nn.Module):
+    """ResNet feature taps + FPN (reference ``BackboneWithFPN``,
+    ``detection/backbone_utils.py:13``)."""
+
+    backbone: nn.Module
+    out_channels: int = 256
+    extra_p6p7: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        feats = self.backbone(x, train=train, features_only=True)
+        # RetinaNet uses C3-C5 (layer2..layer4)
+        used = {k: feats[k] for k in ("layer2", "layer3", "layer4")}
+        fpn = FeaturePyramidNetwork(self.out_channels, dtype=self.dtype)(used)
+        outs = [fpn["layer2"], fpn["layer3"], fpn["layer4"]]
+        if self.extra_p6p7:
+            p6, p7 = LastLevelP6P7(self.out_channels, dtype=self.dtype)(feats["layer4"])
+            outs += [p6, p7]
+        return outs

@@ -1,0 +1,63 @@
+"""Weight-linked transform presets (reference ``transforms/_presets.py``):
+``ImageClassification`` eval preset (:38) and the classification training
+recipe preset (``references/classification/presets.py``)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from .. import transforms as T
+
+__all__ = ["ImageClassificationEval", "ImageClassificationTrain"]
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def ImageClassificationEval(
+    crop_size: int = 224,
+    resize_size: int = 256,
+    mean: Sequence[float] = IMAGENET_MEAN,
+    std: Sequence[float] = IMAGENET_STD,
+    interpolation: str = "bilinear",
+) -> T.Compose:
+    """Resize-shorter → center crop → float scale → normalize (reference
+    ``ImageClassification.forward``, ``transforms/_presets.py:38-69``)."""
+    return T.Compose(
+        [
+            T.Resize(resize_size, interpolation=interpolation),
+            T.CenterCrop(crop_size),
+            T.ToDtype(jnp.float32, scale=True),
+            T.Normalize(mean, std),
+        ]
+    )
+
+
+def ImageClassificationTrain(
+    crop_size: int = 224,
+    mean: Sequence[float] = IMAGENET_MEAN,
+    std: Sequence[float] = IMAGENET_STD,
+    hflip_prob: float = 0.5,
+    auto_augment: Optional[str] = None,
+    random_erase_prob: float = 0.0,
+) -> T.Compose:
+    """RandomResizedCrop + flip (+AutoAugment/RandAugment/TrivialAugment)
+    (reference ``references/classification/presets.py:ClassificationPresetTrain``)."""
+    ts = [T.RandomResizedCrop(crop_size)]
+    if hflip_prob > 0:
+        ts.append(T.RandomHorizontalFlip(hflip_prob))
+    if auto_augment == "ra":
+        ts.append(T.RandAugment())
+    elif auto_augment == "ta_wide":
+        ts.append(T.TrivialAugmentWide())
+    elif auto_augment == "augmix":
+        ts.append(T.AugMix())
+    elif auto_augment == "imagenet":
+        ts.append(T.AutoAugment("imagenet"))
+    ts.append(T.ToDtype(jnp.float32, scale=True))
+    ts.append(T.Normalize(mean, std))
+    if random_erase_prob > 0:
+        ts.append(T.RandomErasing(p=random_erase_prob))
+    return T.Compose(ts)

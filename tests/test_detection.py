@@ -1,0 +1,147 @@
+"""Detection stack: box coder round trips, matcher semantics, anchors, FPN
+shapes, RetinaNet forward/loss/postprocess end-to-end on a synthetic box."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cpu_vision_tpu.models import detection as det
+
+
+class TestBoxCoder:
+    def test_encode_decode_roundtrip(self, rng):
+        coder = det.BoxCoder(weights=(1.0, 2.0, 3.0, 4.0))
+        anchors = jnp.asarray(rng.random((12, 2)) * 50).astype(jnp.float32)
+        anchors = jnp.concatenate([anchors, anchors + 10 + rng.random((12, 2)) * 20], axis=1)
+        gt = jnp.asarray(rng.random((12, 2)) * 40).astype(jnp.float32)
+        gt = jnp.concatenate([gt, gt + 5 + rng.random((12, 2)) * 30], axis=1)
+        deltas = coder.encode(gt, anchors)
+        back = coder.decode(deltas, anchors)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(gt), atol=1e-3)
+
+    def test_zero_deltas_identity(self):
+        coder = det.BoxCoder()
+        anchors = jnp.asarray([[0.0, 0, 10, 10], [5.0, 5, 20, 30]])
+        out = coder.decode(jnp.zeros((2, 4)), anchors)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(anchors), atol=1e-5)
+
+
+class TestMatcher:
+    def test_thresholds(self):
+        m = det.Matcher(0.7, 0.3)
+        iou = jnp.asarray([[0.8, 0.5, 0.1], [0.2, 0.6, 0.05]])
+        out = np.asarray(m(iou))
+        assert out[0] == 0          # 0.8 >= 0.7 -> gt 0
+        assert out[1] == -2         # 0.6 between
+        assert out[2] == -1         # below
+
+    def test_low_quality_matches(self):
+        m = det.Matcher(0.7, 0.3, allow_low_quality_matches=True)
+        iou = jnp.asarray([[0.4, 0.2, 0.1]])
+        out = np.asarray(m(iou))
+        assert out[0] == 0  # best anchor for gt 0 force-matched
+
+    def test_gt_padding_masked(self):
+        m = det.Matcher(0.7, 0.3)
+        iou = jnp.asarray([[0.9, 0.1], [0.95, 0.2]])
+        out = np.asarray(m(iou, gt_valid=jnp.asarray([True, False])))
+        assert out[0] == 0  # padded gt row 1 ignored
+
+
+class TestAnchors:
+    def test_counts_and_strides(self):
+        gen = det.AnchorGenerator(((32,),), ((1.0,),))
+        anchors = gen((64, 64), [(8, 8)])
+        assert anchors[0].shape == (64, 4)
+        a = np.asarray(anchors[0])
+        # second anchor shifted by stride 8 in x
+        np.testing.assert_allclose(a[1] - a[0], [8, 0, 8, 0])
+
+    def test_multi_level(self):
+        gen = det.AnchorGenerator(((32, 64), (64, 128)), ((0.5, 1.0), (0.5, 1.0)))
+        anchors = gen((64, 64), [(8, 8), (4, 4)])
+        assert anchors[0].shape == (8 * 8 * 4, 4)
+        assert anchors[1].shape == (4 * 4 * 4, 4)
+
+
+class TestTransform:
+    def test_resize_and_canvas(self, rng):
+        t = det.GeneralizedRCNNTransform(min_size=64, max_size=128, size_divisible=32)
+        img = jnp.asarray(rng.random((50, 100, 3), dtype=np.float32))
+        boxes = [jnp.asarray([[10.0, 10, 40, 30]])]
+        batch, out_boxes, scales = t([img], boxes)
+        assert batch.shape == (1, 128, 128, 3)
+        sy, sx = scales[0]
+        np.testing.assert_allclose(np.asarray(out_boxes[0])[0, 0], 10 * sx, atol=1e-4)
+        back = t.postprocess_boxes(out_boxes[0], scales, 0)
+        np.testing.assert_allclose(np.asarray(back), [[10, 10, 40, 30]], atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_retinanet():
+    model = det.RetinaNet(
+        num_classes=5,
+        anchor_sizes=((16,), (32,), (64,), (128,), (256,)),
+        aspect_ratios=((1.0,),) * 5,
+        topk_candidates=200,
+        max_detections=20,
+    )
+    x = jnp.ones((1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables
+
+
+class TestRetinaNet:
+    def test_forward_shapes(self, tiny_retinanet):
+        model, variables = tiny_retinanet
+        x = jnp.ones((2, 128, 128, 3), jnp.float32)
+        cls, reg, anchors = model.apply(variables, x, train=False)
+        total = anchors.shape[0]
+        assert cls.shape == (2, total, 5)
+        assert reg.shape == (2, total, 4)
+        # P3..P7 of a 128 input: 16²+8²+4²+2²+1² anchors (1 per cell)
+        assert total == 16 * 16 + 8 * 8 + 4 * 4 + 2 * 2 + 1
+
+    def test_loss_decreases_toward_target(self, tiny_retinanet, rng):
+        model, variables = tiny_retinanet
+        x = jnp.asarray(rng.random((1, 128, 128, 3), dtype=np.float32))
+        gt_boxes = jnp.asarray([[[20.0, 20, 60, 60], [0, 0, 0, 0]]])
+        gt_labels = jnp.asarray([[2, 0]])
+        gt_valid = jnp.asarray([[True, False]])
+
+        stats = variables["batch_stats"]
+
+        def loss_fn(params):
+            v = {"params": params, "batch_stats": stats}
+            cls, reg, anchors = model.apply(v, x, train=False)
+            losses = model.apply(
+                v, cls, reg, anchors, gt_boxes, gt_labels, gt_valid,
+                method=model.compute_loss,
+            )
+            return losses["classification"] + losses["bbox_regression"]
+
+        params = variables["params"]
+        l0 = float(loss_fn(params))
+        g = jax.grad(loss_fn)(params)
+        import optax
+
+        params2 = optax.apply_updates(params, jax.tree.map(lambda v: -0.01 * v, g))
+        l1 = float(loss_fn(params2))
+        assert np.isfinite(l0) and np.isfinite(l1)
+        assert l1 < l0
+
+    def test_postprocess_fixed_shapes(self, tiny_retinanet, rng):
+        model, variables = tiny_retinanet
+        x = jnp.asarray(rng.random((1, 128, 128, 3), dtype=np.float32))
+        cls, reg, anchors = model.apply(variables, x, train=False)
+        out = model.postprocess(cls, reg, anchors, (128, 128))
+        assert out["boxes"].shape == (1, 20, 4)
+        assert out["scores"].shape == (1, 20)
+        assert out["labels"].shape == (1, 20)
+        assert out["valid"].dtype == bool
+
+    def test_registered(self):
+        from cpu_vision_tpu.models import list_models
+
+        assert "retinanet_resnet50_fpn" in list_models()

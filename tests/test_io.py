@@ -1,0 +1,104 @@
+"""Native codec shim: round trips, PIL cross-check, magic-byte sniffing,
+damaged input handling (the reference's test_image.py strategy)."""
+
+import io as _io
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+from cpu_vision_tpu.io import (
+    ImageReadMode,
+    decode_image,
+    decode_jpeg,
+    decode_png,
+    encode_jpeg,
+    encode_png,
+)
+from cpu_vision_tpu.io.image import _load_lib
+
+
+def _rgb(rng, h=24, w=32):
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+native = pytest.mark.skipif(_load_lib() is None, reason="native codec shim unavailable")
+
+
+@native
+class TestNative:
+    def test_png_roundtrip_exact(self, rng):
+        img = _rgb(rng)
+        data = encode_png(img)
+        out = decode_png(data)
+        np.testing.assert_array_equal(out, img)
+
+    def test_png_gray_and_alpha(self, rng):
+        gray = rng.integers(0, 256, (10, 10, 1), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(gray)), gray)
+        rgba = rng.integers(0, 256, (10, 10, 4), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(rgba)), rgba)
+
+    def test_jpeg_roundtrip_close(self, rng):
+        img = np.full((32, 32, 3), 128, np.uint8)
+        img[8:24, 8:24] = 200
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 4
+
+    def test_jpeg_matches_pil_decode(self, rng):
+        img = _rgb(rng, 40, 40)
+        buf = _io.BytesIO()
+        PILImage.fromarray(img).save(buf, "JPEG", quality=90)
+        data = buf.getvalue()
+        ours = decode_jpeg(data)
+        ref = np.asarray(PILImage.open(_io.BytesIO(data)))
+        # both use libjpeg; allow tiny differences from decoder settings
+        assert ours.shape == ref.shape
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
+
+    def test_png_matches_pil_decode(self, rng):
+        img = _rgb(rng)
+        buf = _io.BytesIO()
+        PILImage.fromarray(img).save(buf, "PNG")
+        ours = decode_png(buf.getvalue())
+        np.testing.assert_array_equal(ours, img)
+
+    def test_sniffing(self, rng):
+        img = _rgb(rng)
+        assert decode_image(encode_png(img)).shape == img.shape
+        assert decode_image(encode_jpeg(img)).shape == img.shape
+
+    def test_damaged_input_raises_or_falls_back(self):
+        with pytest.raises(Exception):
+            decode_jpeg(b"\xff\xd8\xffgarbagegarbage")
+
+    def test_not_an_image(self):
+        with pytest.raises(Exception):
+            decode_image(b"hello world this is not an image")
+
+
+class TestModes:
+    def test_gray_mode(self, rng):
+        img = _rgb(rng)
+        out = decode_image(encode_png(img), ImageReadMode.GRAY)
+        assert out.shape == (24, 32, 1)
+
+    def test_rgb_mode_from_gray(self, rng):
+        gray = rng.integers(0, 256, (10, 10, 1), dtype=np.uint8)
+        out = decode_image(encode_png(gray), ImageReadMode.RGB)
+        assert out.shape == (10, 10, 3)
+        np.testing.assert_array_equal(out[:, :, 0], out[:, :, 2])
+
+    def test_rgba_mode(self, rng):
+        img = _rgb(rng)
+        out = decode_image(encode_png(img), ImageReadMode.RGB_ALPHA)
+        assert out.shape == (24, 32, 4)
+        assert (out[:, :, 3] == 255).all()
+
+    def test_16bit_png_scaled(self, rng):
+        arr16 = (rng.integers(0, 65536, (8, 8), dtype=np.uint16))
+        buf = _io.BytesIO()
+        PILImage.fromarray(arr16, mode="I;16").save(buf, "PNG")
+        out = decode_png(buf.getvalue())
+        assert out.dtype == np.uint8 and out.shape == (8, 8, 1)
