@@ -16,6 +16,12 @@ from ._api import (  # noqa: F401
     register_model,
 )
 from . import alexnet as _alexnet  # noqa: F401
+from . import detection as _detection  # noqa: F401
+from . import googlenet as _googlenet  # noqa: F401
+from . import regnet as _regnet  # noqa: F401
+from . import small_nets as _small_nets  # noqa: F401
+from . import swin as _swin  # noqa: F401
+from . import video as _video  # noqa: F401
 from . import convnext as _convnext  # noqa: F401
 from . import densenet as _densenet  # noqa: F401
 from . import efficientnet as _efficientnet  # noqa: F401

@@ -9,5 +9,8 @@ from .backbone_utils import (  # noqa: F401
     LastLevelMaxPool,
     LastLevelP6P7,
 )
+from .faster_rcnn import FasterRCNN, fasterrcnn_resnet50_fpn  # noqa: F401
 from .retinanet import RetinaNet, RetinaNetHead, retinanet_resnet50_fpn  # noqa: F401
+from .roi_heads import FastRCNNPredictor, RoIHeads, TwoMLPHead  # noqa: F401
+from .rpn import RegionProposalNetwork, RPNHead  # noqa: F401
 from .transform import GeneralizedRCNNTransform  # noqa: F401

@@ -74,16 +74,19 @@ class BackboneWithFPN(nn.Module):
     backbone: nn.Module
     out_channels: int = 256
     extra_p6p7: bool = False
+    extra_pool: bool = False
+    returned_layers: Sequence[str] = ("layer2", "layer3", "layer4")
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
         feats = self.backbone(x, train=train, features_only=True)
-        # RetinaNet uses C3-C5 (layer2..layer4)
-        used = {k: feats[k] for k in ("layer2", "layer3", "layer4")}
+        used = {k: feats[k] for k in self.returned_layers}
         fpn = FeaturePyramidNetwork(self.out_channels, dtype=self.dtype)(used)
-        outs = [fpn["layer2"], fpn["layer3"], fpn["layer4"]]
+        outs = [fpn[k] for k in sorted(self.returned_layers)]
         if self.extra_p6p7:
             p6, p7 = LastLevelP6P7(self.out_channels, dtype=self.dtype)(feats["layer4"])
             outs += [p6, p7]
+        elif self.extra_pool:
+            outs.append(LastLevelMaxPool()(outs[-1]))
         return outs

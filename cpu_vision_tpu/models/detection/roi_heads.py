@@ -1,0 +1,186 @@
+"""RoI heads: box head + predictors + training/inference logic (reference
+``torchvision/models/detection/roi_heads.py:492-850`` and
+``faster_rcnn.py:TwoMLPHead/FastRCNNPredictor``).
+
+Fixed shapes: training samples a static ``batch_size_per_image`` of
+proposals per image (masked); inference emits padded ``max_detections``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops import batched_nms, box_iou, clip_boxes_to_image
+from ...ops.poolers import multiscale_roi_align
+from ._utils import BalancedPositiveNegativeSampler, BoxCoder, Matcher
+from .rpn import smooth_l1
+
+__all__ = ["TwoMLPHead", "FastRCNNPredictor", "RoIHeads"]
+
+
+class TwoMLPHead(nn.Module):
+    """Flatten + 2x FC (reference ``TwoMLPHead``, ``faster_rcnn.py:288``)."""
+
+    representation_size: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype)(x))
+        return x
+
+
+class FastRCNNPredictor(nn.Module):
+    """Class scores + per-class box deltas (reference ``FastRCNNPredictor``,
+    ``faster_rcnn.py:308``)."""
+
+    num_classes: int  # includes background at index 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scores = nn.Dense(self.num_classes, dtype=self.dtype)(x)
+        deltas = nn.Dense(self.num_classes * 4, dtype=self.dtype)(x)
+        return scores, deltas
+
+
+class RoIHeads(nn.Module):
+    """(reference ``RoIHeads``, ``roi_heads.py:492``)."""
+
+    num_classes: int = 91  # incl. background
+    pooled_size: int = 7
+    fg_iou_thresh: float = 0.5
+    bg_iou_thresh: float = 0.5
+    batch_size_per_image: int = 512
+    positive_fraction: float = 0.25
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    max_detections: int = 100
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.box_head = TwoMLPHead(dtype=self.dtype)
+        self.predictor = FastRCNNPredictor(self.num_classes, dtype=self.dtype)
+
+    @property
+    def _coder(self) -> BoxCoder:
+        return BoxCoder(weights=(10.0, 10.0, 5.0, 5.0))
+
+    def _pool_and_predict(self, features, rois, image_size):
+        # feature strides are powers of two; shapes are static under jit
+        scales = [2.0 ** _log2i(f.shape[1], image_size[0]) for f in features]
+        pooled = multiscale_roi_align(
+            features, rois, (self.pooled_size, self.pooled_size), scales=scales
+        )
+        x = self.box_head(pooled)
+        return self.predictor(x)
+
+    def __call__(self, features: Sequence[jnp.ndarray], proposals: jnp.ndarray,
+                 image_size: Tuple[int, int]):
+        """features: FPN levels (P2..P5); proposals (N, P, 4).
+        Returns (class_logits (N, P, C), box_deltas (N, P, C, 4))."""
+        n, p, _ = proposals.shape
+        batch_idx = jnp.repeat(jnp.arange(n, dtype=proposals.dtype), p)
+        rois = jnp.concatenate([batch_idx[:, None], proposals.reshape(-1, 4)], axis=1)
+        scores, deltas = self._pool_and_predict(features, rois, image_size)
+        return (
+            scores.reshape(n, p, self.num_classes),
+            deltas.reshape(n, p, self.num_classes, 4),
+        )
+
+    # ---------------------------------------------------------- training
+
+    def select_training_samples(
+        self,
+        proposals: jnp.ndarray,
+        gt_boxes: jnp.ndarray,
+        gt_labels: jnp.ndarray,
+        gt_valid: jnp.ndarray,
+        key: jax.Array,
+    ):
+        """Match proposals (+gt appended) to targets and sample a fixed
+        subset (reference ``select_training_samples``, ``roi_heads.py:551``).
+        Returns (rois (N, S, 4), labels (N, S), reg_targets (N, S, 4),
+        sampled_mask, pos_mask)."""
+        matcher = Matcher(self.fg_iou_thresh, self.bg_iou_thresh)
+        sampler = BalancedPositiveNegativeSampler(self.batch_size_per_image, self.positive_fraction)
+        s = min(self.batch_size_per_image, proposals.shape[1] + gt_boxes.shape[1])
+
+        def per_image(props, boxes, labels, valid, k):
+            cand = jnp.concatenate([props, boxes], axis=0)  # add gt as proposals
+            iou = box_iou(boxes, cand)
+            matches = matcher(iou, valid)
+            cls = jnp.where(matches >= 0, labels[jnp.maximum(matches, 0)], 0)
+            smp_labels = jnp.where(matches >= 0, 1, jnp.where(matches == Matcher.BELOW_LOW_THRESHOLD, 0, -1))
+            pos_mask, neg_mask = sampler(smp_labels, k)
+            sampled = pos_mask | neg_mask
+            # gather a fixed number of sampled rows (priority: sampled first)
+            pri = sampled.astype(jnp.float32) + pos_mask.astype(jnp.float32)
+            _, idx = jax.lax.top_k(pri + jax.random.uniform(k, pri.shape) * 0.1, s)
+            rois = cand[idx]
+            cls_s = cls[idx]
+            pos_s = pos_mask[idx]
+            smp_s = sampled[idx]
+            matched_boxes = boxes[jnp.maximum(matches, 0)][idx]
+            reg_tgt = self._coder.encode(matched_boxes, rois)
+            return rois, cls_s, reg_tgt, smp_s, pos_s
+
+        keys = jax.random.split(key, proposals.shape[0])
+        return jax.vmap(per_image)(proposals, gt_boxes, gt_labels, gt_valid, keys)
+
+    def compute_loss(self, class_logits, box_deltas, labels, reg_targets, sampled, pos):
+        """CE + smooth-L1 on the class-specific deltas (reference
+        ``fastrcnn_loss``, ``roi_heads.py:28-78``)."""
+        logp = jax.nn.log_softmax(class_logits)
+        ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        cls_loss = (ce * sampled).sum() / jnp.maximum(sampled.sum(), 1)
+        # deltas for the target class
+        idx = labels[..., None, None]
+        d = jnp.take_along_axis(box_deltas, jnp.broadcast_to(idx, labels.shape + (1, 4)), axis=2)[..., 0, :]
+        reg = smooth_l1(d - reg_targets).sum(-1)
+        reg_loss = (reg * pos).sum() / jnp.maximum(sampled.sum(), 1)
+        return {"loss_classifier": cls_loss, "loss_box_reg": reg_loss}
+
+    # --------------------------------------------------------- inference
+
+    def postprocess(self, class_logits, box_deltas, proposals, image_size):
+        """Per-class decode + NMS -> fixed-size detections (reference
+        ``postprocess_detections``, ``roi_heads.py:668``)."""
+        num_fg = self.num_classes - 1
+
+        def per_image(logits, deltas, props):
+            scores = jax.nn.softmax(logits)[:, 1:]  # drop background
+            boxes = self._coder.decode(deltas[:, 1:, :], props[:, None, :])  # (P, C-1, 4)
+            boxes = clip_boxes_to_image(boxes, image_size)
+            flat_scores = scores.reshape(-1)
+            flat_boxes = boxes.reshape(-1, 4)
+            cls_ids = jnp.tile(jnp.arange(num_fg), scores.shape[0])
+            keep_score = flat_scores > self.score_thresh
+            nms_scores = jnp.where(keep_score, flat_scores, 0.0)
+            k = min(4 * self.max_detections, flat_scores.shape[0])
+            top_s, top_i = jax.lax.top_k(nms_scores, k)
+            keep = batched_nms(flat_boxes[top_i], top_s, cls_ids[top_i], self.nms_thresh)
+            final = jnp.where(keep, top_s, -1.0)
+            k2 = min(self.max_detections, k)
+            sel_s, sel = jax.lax.top_k(final, k2)
+            valid = sel_s > 0
+            return {
+                "boxes": flat_boxes[top_i][sel],
+                "scores": jnp.where(valid, sel_s, 0.0),
+                "labels": jnp.where(valid, cls_ids[top_i][sel] + 1, -1),
+                "valid": valid,
+            }
+
+        return jax.vmap(per_image)(class_logits, box_deltas, proposals)
+
+
+def _log2i(f: int, i: int) -> float:
+    import math
+
+    return round(math.log2(f / i))

@@ -1,0 +1,185 @@
+"""Swin Transformer (reference ``torchvision/models/swin_transformer.py``):
+shifted-window attention with relative position bias, patch merging.
+
+TPU notes: window partition is reshape/transpose only (no gathers); the
+cyclic shift is ``jnp.roll``; attention is batched over windows on the MXU.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from typing import Any, List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ._api import register_model
+from .layers import StochasticDepth
+
+__all__ = ["SwinTransformer", "swin_t", "swin_s", "swin_b"]
+
+
+def _window_partition(x, ws: int):
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def _window_reverse(windows, ws: int, n: int, h: int, w: int):
+    x = windows.reshape(n, h // ws, w // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, -1)
+
+
+def _relative_position_index(ws: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0) + (ws - 1)
+    return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b, n, c = x.shape  # (windows, ws*ws, C)
+        ws = self.window_size
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, c // self.num_heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = (c // self.num_heads) ** -0.5
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.normal(stddev=0.02),
+            ((2 * ws - 1) ** 2, self.num_heads),
+        )
+        idx = jnp.asarray(_relative_position_index(ws)).reshape(-1)
+        bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+        attn = attn + bias[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b // nw, nw, self.num_heads, n, n) + mask[None, :, None]
+            attn = attn.reshape(b, self.num_heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    shift: int
+    mlp_ratio: float = 4.0
+    sd_prob: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        ws = min(self.window_size, h, w)
+        # no cyclic shift when the window covers the whole feature map
+        # (reference shifted_window_attention: shift_size zeroed per-dim)
+        shift = self.shift if ws < min(h, w) else 0
+        res = x
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            # attention mask for wrapped windows
+            img_mask = np.zeros((1, h, w, 1), np.float32)
+            cnt = 0
+            for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+                for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+                    img_mask[:, hs, wsl, :] = cnt
+                    cnt += 1
+            mw = _window_partition(jnp.asarray(img_mask), ws)[..., 0]  # (nW, ws*ws)
+            mask = jnp.where(mw[:, None, :] != mw[:, :, None], -100.0, 0.0)
+        else:
+            mask = None
+        windows = _window_partition(y, ws)
+        attn = WindowAttention(self.dim, self.num_heads, ws, self.dtype)(windows, mask)
+        y = _window_reverse(attn, ws, n, h, w)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        x = res + StochasticDepth(self.sd_prob, "row")(y, train)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype)(y)
+        return x + StochasticDepth(self.sd_prob, "row")(y, train)
+
+
+class PatchMerging(nn.Module):
+    """(reference ``swin_transformer.py:PatchMerging``)."""
+
+    dim_out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        # pad odd spatial dims (reference pads with F.pad before merging)
+        if h % 2 or w % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+            n, h, w, c = x.shape
+        x = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(n, h // 2, w // 2, 4 * c)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        return nn.Dense(self.dim_out, use_bias=False, dtype=self.dtype)(x)
+
+
+class SwinTransformer(nn.Module):
+    """(reference ``swin_transformer.py:SwinTransformer``)."""
+
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 7
+    sd_prob: float = 0.2
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.embed_dim, (4, 4), (4, 4), padding="VALID", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        total = sum(self.depths)
+        bid = 0
+        dim = self.embed_dim
+        for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+            if stage > 0:
+                dim *= 2
+                x = PatchMerging(dim, self.dtype)(x)
+            for blk in range(depth):
+                sd = self.sd_prob * bid / max(total - 1, 1)
+                x = SwinBlock(
+                    dim, heads, self.window_size,
+                    shift=0 if blk % 2 == 0 else self.window_size // 2,
+                    sd_prob=sd, dtype=self.dtype,
+                )(x, train)
+                bid += 1
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.num_classes, dtype=self.dtype)(x)
+
+
+def _make(name, dim, depths, heads, sd):
+    def builder(*, num_classes: int = 1000, dtype=jnp.float32):
+        return SwinTransformer(dim, depths, heads, 7, sd, num_classes, dtype)
+
+    builder.__name__ = name
+    return register_model(name)(builder)
+
+
+swin_t = _make("swin_t", 96, (2, 2, 6, 2), (3, 6, 12, 24), 0.2)
+swin_s = _make("swin_s", 96, (2, 2, 18, 2), (3, 6, 12, 24), 0.3)
+swin_b = _make("swin_b", 128, (2, 2, 18, 2), (4, 8, 16, 32), 0.5)
