@@ -1,0 +1,133 @@
+"""Extended benchmark matrix (the north-star configs from BASELINE.json).
+
+Prints one JSON line per metric and writes BENCH_NOTES.md.  ``bench.py``
+remains the single-line headline for the driver.
+
+Configs (BASELINE.json):
+1. 512x512 gaussian blur + sobel magnitude
+2. full Canny on 1080p, batch 8
+3. 4-level pyramid + bilinear resize on batch 64 RGB 640x480
+4. Harris on 2MP images, batch 32
+5. LeNet-style CNN inference at 28x28 and 224x224, batch 256 — incl. the
+   >=50x-over-reference-CPU comparison (torch CPU is the stand-in for the
+   reference's single-threaded loops; the reference's own kernels are
+   scalar C++ and slower still)
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(out):
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.ravel()[:8].astype(jnp.float32)))
+
+
+def bench(fn, *args, iters=30, warmup=3):
+    for _ in range(warmup):
+        _sync(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def emit(metric, value, unit, baseline=None):
+    row = {"metric": metric, "value": round(value, 3), "unit": unit}
+    if baseline:
+        row["vs_baseline"] = round(value / baseline, 3)
+    print(json.dumps(row))
+    return row
+
+
+def main():
+    from cpu_vision_tpu import ops
+    from cpu_vision_tpu.ops.cnn import cnn_forward, cnn_init
+    from cpu_vision_tpu.ops.pallas import fused_blur_sobel, harris_response_fused
+
+    rng = np.random.default_rng(0)
+    rows = []
+
+    # 1. 512x512 gaussian+sobel (batch 32 to amortise dispatch)
+    x = jnp.asarray(rng.random((32, 512, 512, 1), dtype=np.float32))
+    f = jax.jit(lambda v: fused_blur_sobel(v, 5, 1.5))
+    dt = bench(f, x)
+    rows.append(emit("gauss_sobel_512_gpix_s", 32 * 512 * 512 / dt / 1e9, "GPix/s"))
+
+    # 2. fused canny 1080p batch 8 (same as bench.py)
+    import bench as headline
+
+    imgs = jnp.asarray(headline._scene(1080, 1920, 8))
+    f = jax.jit(lambda v: ops.canny(v, 0.1, 0.2))
+    dt = bench(f, imgs)
+    rows.append(emit("canny_1080p_gpix_s", 8 * 1080 * 1920 / dt / 1e9, "GPix/s", baseline=2.0))
+
+    # 3. 4-level pyramid + bilinear resize, batch 64 RGB 640x480
+    x = jnp.asarray(rng.random((64, 480, 640, 3), dtype=np.float32))
+
+    def pyr(v):
+        levels = ops.laplacian_pyramid(v, 4)
+        return ops.resize(levels[0], (240, 320), "bilinear", True)
+
+    dt = bench(jax.jit(pyr), x)
+    rows.append(emit("pyramid_resize_640x480_img_s", 64 / dt, "img/s"))
+
+    # 4. harris on 2MP (1080p ~ 2MP) batch 32
+    x = jnp.asarray(rng.random((32, 1080, 1920, 1), dtype=np.float32))
+    f = jax.jit(lambda v: harris_response_fused(v))
+    dt = bench(f, x, iters=10)
+    rows.append(emit("harris_2mp_gpix_s", 32 * 1080 * 1920 / dt / 1e9, "GPix/s"))
+
+    # 5. CNN inference batch 256 @ 28x28 and 224x224, vs torch CPU
+    for hw, cin in ((28, 1), (224, 3)):
+        params = cnn_init(jax.random.PRNGKey(0), (hw, hw), cin, (32, 64), 128, 10)
+        x = jnp.asarray(rng.random((256, hw, hw, cin), dtype=np.float32))
+        f = jax.jit(cnn_forward)
+        dt = bench(f, params, x)
+        tpu_ips = 256 / dt
+        rows.append(emit(f"cnn_{hw}_img_s", tpu_ips, "img/s"))
+
+        # torch CPU stand-in for the reference CPU path
+        import torch
+
+        torch.set_num_threads(1)  # the reference kernels are single-threaded
+        conv1 = torch.nn.Conv2d(cin, 32, 3, padding=1)
+        conv2 = torch.nn.Conv2d(32, 64, 3, padding=1)
+        fc1 = torch.nn.Linear(64 * (hw // 4) ** 2, 128)
+        fc2 = torch.nn.Linear(128, 10)
+
+        def torch_fwd(t):
+            h = torch.relu(conv1(t))
+            h = torch.max_pool2d(h, 2)
+            h = torch.relu(conv2(h))
+            h = torch.max_pool2d(h, 2)
+            h = h.flatten(1)
+            return fc2(torch.relu(fc1(h)))
+
+        t = torch.from_numpy(rng.random((256, cin, hw, hw)).astype(np.float32))
+        with torch.no_grad():
+            torch_fwd(t)
+            t0 = time.perf_counter()
+            n_iter = 3 if hw > 100 else 10
+            for _ in range(n_iter):
+                torch_fwd(t)
+            cpu_dt = (time.perf_counter() - t0) / n_iter
+        cpu_ips = 256 / cpu_dt
+        rows.append(emit(f"cnn_{hw}_speedup_vs_cpu", tpu_ips / cpu_ips, "x", baseline=50.0))
+
+    with open("BENCH_NOTES.md", "w") as f:
+        f.write("# Benchmark matrix (single v5e via axon relay)\n\n")
+        f.write("| metric | value | unit | vs_baseline |\n|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r['metric']} | {r['value']} | {r['unit']} | {r.get('vs_baseline', '-')} |\n")
+
+
+if __name__ == "__main__":
+    main()

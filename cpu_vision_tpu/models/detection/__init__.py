@@ -10,6 +10,9 @@ from .backbone_utils import (  # noqa: F401
     LastLevelP6P7,
 )
 from .faster_rcnn import FasterRCNN, fasterrcnn_resnet50_fpn  # noqa: F401
+from .keypoint_rcnn import KeypointRCNN, keypointrcnn_resnet50_fpn  # noqa: F401
+from .ssd import SSD, DefaultBoxGenerator, ssd300_vgg16  # noqa: F401
+from .mask_rcnn import MaskRCNN, MaskRCNNHeads, maskrcnn_resnet50_fpn  # noqa: F401
 from .retinanet import RetinaNet, RetinaNetHead, retinanet_resnet50_fpn  # noqa: F401
 from .roi_heads import FastRCNNPredictor, RoIHeads, TwoMLPHead  # noqa: F401
 from .rpn import RegionProposalNetwork, RPNHead  # noqa: F401

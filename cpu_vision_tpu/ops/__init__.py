@@ -1,5 +1,8 @@
 """Image and vision ops (XLA-reference implementations + Pallas fused kernels)."""
 
+from .cnn import cnn_forward, cnn_init  # noqa: F401
+from .poolers import LevelMapper, MultiScaleRoIAlign, multiscale_roi_align  # noqa: F401
+from .quantized import dequantize, qnms, qroi_align, quantize  # noqa: F401
 from .boxes import (  # noqa: F401
     batched_nms,
     box_area,

@@ -95,20 +95,38 @@ def _halo_stencil_call(
     )
 
     grid = (n, ht // th)
+    n_tiles = ht // th
 
     def kernel(in_hbm, *out_refs_and_scratch):
         out_refs = out_refs_and_scratch[: len(out_dtypes)]
         scratch, sem = out_refs_and_scratch[len(out_dtypes) :]
         ni = pl.program_id(0)
         ti = pl.program_id(1)
-        copy = pltpu.make_async_copy(
-            in_hbm.at[ni, pl.ds(ti * th, band), :],
-            scratch,
-            sem,
-        )
-        copy.start()
-        copy.wait()
-        results = compute(scratch[:], th)
+        step = ni * n_tiles + ti  # global sequential step (grid runs row-major)
+
+        def dma(slot, n_i, t_i):
+            return pltpu.make_async_copy(
+                in_hbm.at[n_i, pl.ds(t_i * th, band), :],
+                scratch.at[slot],
+                sem.at[slot],
+            )
+
+        # double buffering: warm up on the first step, then prefetch the
+        # next band while computing the current one
+        @pl.when(step == 0)
+        def _():
+            dma(0, ni, ti).start()
+
+        nxt = step + 1
+        nxt_ni = nxt // n_tiles
+        nxt_ti = nxt % n_tiles
+
+        @pl.when(nxt < n * n_tiles)
+        def _():
+            dma(nxt % 2, nxt_ni, nxt_ti).start()
+
+        dma(step % 2, ni, ti).wait()
+        results = compute(scratch[step % 2], th)
         for ref, res in zip(out_refs, results):
             ref[0] = res[:, :w].astype(ref.dtype)
 
@@ -124,8 +142,8 @@ def _halo_stencil_call(
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((band, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, band, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(padded)

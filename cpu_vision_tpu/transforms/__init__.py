@@ -24,6 +24,7 @@ from ._color import (  # noqa: F401
     RandomPosterize,
     RandomSolarize,
 )
+from ._detection_aug import JPEG, RandomIoUCrop  # noqa: F401
 from ._container import Compose, RandomApply, RandomChoice, RandomOrder  # noqa: F401
 from ._geometry import (  # noqa: F401
     CenterCrop,
