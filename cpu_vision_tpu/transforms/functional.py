@@ -25,6 +25,12 @@ from ..tv_arrays import BoundingBoxes, Image, Mask, TVArray, Video, wrap
 from ._registry import dispatch, register_kernel
 
 __all__ = [
+    "hflip",
+    "vflip",
+    "to_image",
+    "to_tensor",
+    "pil_to_tensor",
+    "convert_image_dtype",
     "horizontal_flip",
     "vertical_flip",
     "resize",
@@ -502,6 +508,38 @@ def clamp_bounding_boxes(boxes: BoundingBoxes) -> BoundingBoxes:
     )
 
 
+# ------------------------------------------------- v1-compat aliases
+# the reference's v1 functional API names (``transforms/functional.py``)
+hflip = None  # assigned below (module-level aliasing after defs)
+
+
+def to_image(pic) -> Image:
+    """PIL image / numpy array -> :class:`Image` (v1 ``to_tensor`` analog,
+    without the value rescale — use ``to_dtype(..., scale=True)`` for that)."""
+    import numpy as np
+
+    try:
+        from PIL import Image as PILImage
+
+        if isinstance(pic, PILImage.Image):
+            return Image(jnp.asarray(np.asarray(pic)))
+    except ImportError:
+        pass
+    return Image(jnp.asarray(pic))
+
+
+def to_tensor(pic) -> jax.Array:
+    """v1 ``to_tensor``: HWC any -> float CHW in torch; here HWC float in
+    [0, 1] (layout stays channels-last — the TPU-native convention)."""
+    img = to_image(pic).data
+    return _to_dtype_arr(img, jnp.float32, scale=True)
+
+
+def pil_to_tensor(pic) -> jax.Array:
+    """v1 ``pil_to_tensor``: no value scaling."""
+    return to_image(pic).data
+
+
 def sanitize_bounding_boxes_mask(boxes: BoundingBoxes, min_size: float = 1.0, min_area: float = 1.0):
     """Validity mask for degenerate boxes (reference
     ``SanitizeBoundingBoxes``, ``v2/_misc.py:342``): inside canvas, both
@@ -514,3 +552,10 @@ def sanitize_bounding_boxes_mask(boxes: BoundingBoxes, min_size: float = 1.0, mi
     ok = (ws >= min_size) & (hs >= min_size) & (ws * hs >= min_area)
     ok &= (xyxy[..., 0] < w) & (xyxy[..., 1] < h) & (xyxy[..., 2] > 0) & (xyxy[..., 3] > 0)
     return ok
+
+
+# module-level v1 aliases (reference v1 functional names)
+hflip = horizontal_flip
+vflip = vertical_flip
+adjust_color = adjust_saturation
+convert_image_dtype = to_dtype
