@@ -6,6 +6,7 @@ separate per-stage passes (each of which re-reads HBM).  The XLA
 implementations in ``cpu_vision_tpu.ops`` are the correctness oracles.
 """
 
+from .conv_block import conv3x3_relu_pool, fused_conv3x3_relu_pool  # noqa: F401
 from .stencil import (  # noqa: F401
     canny_stage1,
     fused_blur_sobel,
