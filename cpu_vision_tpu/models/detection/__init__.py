@@ -9,8 +9,10 @@ from .backbone_utils import (  # noqa: F401
     LastLevelMaxPool,
     LastLevelP6P7,
 )
+from .fcos import FCOS, fcos_resnet50_fpn  # noqa: F401
 from .faster_rcnn import FasterRCNN, fasterrcnn_resnet50_fpn  # noqa: F401
 from .keypoint_rcnn import KeypointRCNN, keypointrcnn_resnet50_fpn  # noqa: F401
+from .ssdlite import SSDLite, ssdlite320_mobilenet_v3_large  # noqa: F401
 from .ssd import SSD, DefaultBoxGenerator, ssd300_vgg16  # noqa: F401
 from .mask_rcnn import MaskRCNN, MaskRCNNHeads, maskrcnn_resnet50_fpn  # noqa: F401
 from .retinanet import RetinaNet, RetinaNetHead, retinanet_resnet50_fpn  # noqa: F401

@@ -1,0 +1,88 @@
+"""SSDLite320-MobileNetV3 (reference
+``torchvision/models/detection/ssdlite.py``): MobileNetV3-Large trunk with
+C4/C5 taps, depthwise-separable extra blocks and lite prediction heads.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .._api import register_model
+from ..layers import ConvNormActivation
+from ..mobilenet import _V3_LARGE, V3Block, hardswish
+from ._utils import BoxCoder
+from .ssd import SSD, DefaultBoxGenerator
+
+__all__ = ["SSDLite", "ssdlite320_mobilenet_v3_large"]
+
+
+def _sep_block(c_mid, c_out, dtype):
+    """Depthwise-separable extra block (reference ``_extra_block``)."""
+
+    class Block(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = ConvNormActivation(c_mid, 1, activation=nn.relu6, dtype=dtype)(x, train)
+            x = ConvNormActivation(c_mid, 3, 2, groups=c_mid, activation=nn.relu6, dtype=dtype)(x, train)
+            return ConvNormActivation(c_out, 1, activation=nn.relu6, dtype=dtype)(x, train)
+
+    return Block()
+
+
+class SSDLite(nn.Module):
+    """(reference ``ssdlite.py:ssdlite320_mobilenet_v3_large``)."""
+
+    num_classes: int = 91
+    image_size: int = 320
+    score_thresh: float = 0.001
+    nms_thresh: float = 0.55
+    max_detections: int = 300
+    topk_candidates: int = 300
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        x = ConvNormActivation(16, 3, 2, activation=hardswish, dtype=self.dtype)(images, train)
+        feats: List[jnp.ndarray] = []
+        for i, (k, exp, out_c, se, hs, s) in enumerate(_V3_LARGE):
+            if i == 12:  # C4: expand conv of the first stride-2 block of the tail
+                feats.append(ConvNormActivation(exp, 1, activation=hardswish, dtype=self.dtype)(x, train))
+            x = V3Block(out_c, k, exp, se, hs, s, dtype=self.dtype)(x, train)
+        x = ConvNormActivation(6 * x.shape[-1], 1, activation=hardswish, dtype=self.dtype)(x, train)
+        feats.append(x)  # C5
+        for c_mid, c_out in [(256, 512), (128, 256), (128, 256), (64, 128)]:
+            x = _sep_block(c_mid, c_out, self.dtype)(x, train)
+            feats.append(x)
+
+        gen = DefaultBoxGenerator(
+            aspect_ratios=((2, 3),) * 6,
+            scales=(0.15, 0.3, 0.45, 0.6, 0.75, 0.9, 1.05),
+        )
+        num_anchors = gen.num_anchors_per_location()
+        cls_out, reg_out = [], []
+        for i, (f, a) in enumerate(zip(feats, num_anchors)):
+            # lite heads: depthwise 3x3 + 1x1 (reference SSDLiteHead)
+            def head(out_ch, name):
+                y = ConvNormActivation(f.shape[-1], 3, groups=f.shape[-1],
+                                       activation=nn.relu6, dtype=self.dtype,
+                                       name=f"{name}_dw{i}")(f, train)
+                return nn.Conv(out_ch, (1, 1), dtype=self.dtype, name=f"{name}_pw{i}")(y)
+
+            n = f.shape[0]
+            cls_out.append(head(a * self.num_classes, "cls").reshape(n, -1, self.num_classes))
+            reg_out.append(head(a * 4, "reg").reshape(n, -1, 4))
+        anchors = gen(self.image_size, [f.shape[1] for f in feats])
+        return jnp.concatenate(cls_out, 1), jnp.concatenate(reg_out, 1), anchors
+
+    # reuse SSD's postprocess machinery
+    _coder = SSD._coder
+    postprocess = SSD.postprocess
+
+
+@register_model("ssdlite320_mobilenet_v3_large")
+def ssdlite320_mobilenet_v3_large(*, num_classes: int = 91, dtype=jnp.float32, **kwargs) -> SSDLite:
+    return SSDLite(num_classes=num_classes, dtype=dtype, **kwargs)
