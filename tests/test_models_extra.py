@@ -94,3 +94,21 @@ class TestSwinRuns:
 class TestRegistryCount:
     def test_zoo_size(self):
         assert len(models.list_models()) >= 75
+
+
+class TestMViT:
+    def test_shapes(self):
+        m = models.get_model("mvit_v1_b", num_classes=11)
+        x = jnp.ones((1, 16, 224, 224, 3), jnp.float32)
+        variables = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), x, train=False))
+        out = jax.eval_shape(lambda v: m.apply(v, x, train=False), variables)
+        assert out.shape == (1, 11)
+
+    def test_small_forward(self, rng):
+        from cpu_vision_tpu.models.mvit import MViT
+
+        m = MViT(embed_dim=16, num_blocks=4, num_classes=3)
+        x = jnp.asarray(rng.random((1, 4, 32, 32, 3), dtype=np.float32))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out = m.apply(v, x, train=False)
+        assert out.shape == (1, 3) and bool(jnp.all(jnp.isfinite(out)))
