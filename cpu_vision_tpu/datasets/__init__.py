@@ -4,6 +4,18 @@ batching/loading helpers (counterpart of ``torchvision/datasets``)."""
 from .cifar import CIFAR10, CIFAR100  # noqa: F401
 from .coco import CocoCaptions, CocoDetection  # noqa: F401
 from .extra import STL10, SVHN, ImageNet  # noqa: F401
+from .simple import (  # noqa: F401
+    DTD,
+    Caltech101,
+    Caltech256,
+    Country211,
+    EuroSAT,
+    Flowers102,
+    Food101,
+    GTSRB,
+    OxfordIIITPet,
+)
+from .video_utils import RandomClipSampler, UniformClipSampler, VideoClips  # noqa: F401
 from .voc import VOC_CLASSES, VOCDetection, VOCSegmentation  # noqa: F401
 from .fakedata import FakeData  # noqa: F401
 from .folder import DatasetFolder, ImageFolder  # noqa: F401

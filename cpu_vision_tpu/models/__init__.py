@@ -21,6 +21,7 @@ from . import optical_flow as _optical_flow  # noqa: F401
 from . import googlenet as _googlenet  # noqa: F401
 from . import maxvit as _maxvit  # noqa: F401
 from . import mvit as _mvit  # noqa: F401
+from . import quantization  # noqa: F401
 from . import regnet as _regnet  # noqa: F401
 from . import small_nets as _small_nets  # noqa: F401
 from . import swin as _swin  # noqa: F401

@@ -1,0 +1,99 @@
+"""Post-training quantization (the reference's ``models/quantization``
+counterpart, re-designed TPU-native).
+
+The reference ships QAT/PTQ variants of 7 families over torch.ao's fake-
+quant machinery.  On TPU, int8 is a first-class MXU dtype, so the natural
+design is: quantize the weight pytree once (per-channel symmetric int8),
+and at apply time run int8 x int8 → int32 ``dot_general``/convs with a
+dynamic per-tensor activation scale — no observer/fusion graph surgery.
+
+``quantize_params`` / ``QuantizedDense``-style helpers work for any flax
+model; ``quantize_linear_params`` + ``int8_dense`` are the building blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "quantize_weight",
+    "dequantize_weight",
+    "int8_dense",
+    "quantize_params",
+    "restore_params",
+    "param_bytes",
+]
+
+
+def quantize_weight(w: jax.Array, axis: int = -1) -> Tuple[jax.Array, jax.Array]:
+    """Per-output-channel symmetric int8 quantisation: returns (q, scale)
+    with ``w ≈ q * scale`` (scale broadcastable against w)."""
+    amax = jnp.max(jnp.abs(w), axis=tuple(i for i in range(w.ndim) if i != (axis % w.ndim)), keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def dequantize_weight(q: jax.Array, scale: jax.Array) -> jax.Array:
+    return q.astype(jnp.float32) * scale
+
+
+def int8_dense(x: jax.Array, q_w: jax.Array, w_scale: jax.Array) -> jax.Array:
+    """Dynamic-activation int8 matmul: quantise x per-tensor, contract in
+    int8 on the MXU (int32 accumulate), rescale to f32.
+
+    x (..., K) f32; q_w (K, N) int8; w_scale (1, N) f32.
+    """
+    x_amax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8)
+    x_scale = x_amax / 127.0
+    q_x = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    acc = lax.dot_general(
+        q_x, q_w,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * x_scale * w_scale.reshape((1,) * (acc.ndim - 1) + (-1,))
+
+
+def quantize_params(params, min_size: int = 4096):
+    """Quantise every float kernel with >= ``min_size`` elements to int8.
+
+    Returns (qparams, meta) where qparams holds int8 kernels + f32 scales and
+    ``meta`` records which leaves were quantised.  ``restore_params``
+    (dequantisation) reproduces an f32 pytree for standard ``apply`` — the
+    simple deployment path; int8-execution layers can consume (q, scale)
+    directly via :func:`int8_dense`.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    q_leaves, meta = [], []
+    for path, leaf in flat:
+        if leaf.ndim >= 2 and leaf.size >= min_size and jnp.issubdtype(leaf.dtype, jnp.floating):
+            q, s = quantize_weight(leaf)
+            q_leaves.append({"q": q, "scale": s})
+            meta.append(True)
+        else:
+            q_leaves.append(leaf)
+            meta.append(False)
+    return jax.tree_util.tree_unflatten(treedef, q_leaves), meta
+
+
+def restore_params(qparams):
+    """Dequantise a pytree produced by :func:`quantize_params`."""
+
+    def is_q(x):
+        return isinstance(x, dict) and set(x.keys()) == {"q", "scale"}
+
+    return jax.tree.map(
+        lambda x: dequantize_weight(x["q"], x["scale"]) if is_q(x) else x,
+        qparams,
+        is_leaf=is_q,
+    )
+
+
+def param_bytes(tree) -> int:
+    return int(sum(leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(tree)))

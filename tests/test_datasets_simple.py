@@ -1,0 +1,126 @@
+"""Named datasets with injected fake on-disk layouts + quantization module."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cpu_vision_tpu import datasets
+from cpu_vision_tpu.io import write_jpeg, write_png
+
+
+def _img(rng):
+    return rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+
+
+class TestSimpleDatasets:
+    def test_caltech101(self, tmp_path, rng):
+        base = tmp_path / "caltech101" / "101_ObjectCategories"
+        for cls in ("ant", "bee", "BACKGROUND_Google"):
+            (base / cls).mkdir(parents=True)
+            write_jpeg(_img(rng), str(base / cls / "image_0001.jpg"))
+        ds = datasets.Caltech101(str(tmp_path))
+        assert len(ds) == 2  # background removed
+        img, t = ds[0]
+        assert img.shape == (8, 8, 3) and t == 0
+
+    def test_oxford_pet(self, tmp_path, rng):
+        base = tmp_path / "oxford-iiit-pet"
+        (base / "images").mkdir(parents=True)
+        (base / "annotations").mkdir()
+        write_jpeg(_img(rng), str(base / "images" / "Abyssinian_1.jpg"))
+        (base / "annotations" / "trainval.txt").write_text("Abyssinian_1 1 1 1\n")
+        ds = datasets.OxfordIIITPet(str(tmp_path))
+        img, t = ds[0]
+        assert t == 0 and img.shape == (8, 8, 3)
+
+    def test_dtd(self, tmp_path, rng):
+        base = tmp_path / "dtd"
+        (base / "images" / "dotted").mkdir(parents=True)
+        (base / "labels").mkdir()
+        write_jpeg(_img(rng), str(base / "images" / "dotted" / "d1.jpg"))
+        (base / "labels" / "train1.txt").write_text("dotted/d1.jpg\n")
+        ds = datasets.DTD(str(tmp_path))
+        img, t = ds[0]
+        assert t == 0 and len(ds) == 1
+
+    def test_eurosat(self, tmp_path, rng):
+        base = tmp_path / "eurosat" / "2750" / "Forest"
+        base.mkdir(parents=True)
+        write_jpeg(_img(rng), str(base / "f1.jpg"))
+        ds = datasets.EuroSAT(str(tmp_path))
+        assert len(ds) == 1 and ds.classes == ["Forest"]
+
+    def test_gtsrb_train(self, tmp_path, rng):
+        d = tmp_path / "gtsrb" / "GTSRB" / "Training" / "00003"
+        d.mkdir(parents=True)
+        write_png(_img(rng), str(d / "s1.png"))
+        ds = datasets.GTSRB(str(tmp_path), "train")
+        img, t = ds[0]
+        assert t == 3
+
+    def test_food101(self, tmp_path, rng):
+        base = tmp_path / "food-101"
+        (base / "images" / "pizza").mkdir(parents=True)
+        (base / "meta").mkdir()
+        write_jpeg(_img(rng), str(base / "images" / "pizza" / "p1.jpg"))
+        (base / "meta" / "train.json").write_text(json.dumps({"pizza": ["pizza/p1"]}))
+        ds = datasets.Food101(str(tmp_path))
+        img, t = ds[0]
+        assert t == 0
+
+    def test_flowers102_json_fallback(self, tmp_path, rng):
+        base = tmp_path / "flowers-102"
+        (base / "jpg").mkdir(parents=True)
+        write_jpeg(_img(rng), str(base / "jpg" / "image_00001.jpg"))
+        (base / "splits.json").write_text(json.dumps({"train": [["image_00001.jpg", 5]]}))
+        ds = datasets.Flowers102(str(tmp_path))
+        img, t = ds[0]
+        assert t == 5
+
+    def test_country211(self, tmp_path, rng):
+        base = tmp_path / "country211" / "train" / "US"
+        base.mkdir(parents=True)
+        write_jpeg(_img(rng), str(base / "a.jpg"))
+        ds = datasets.Country211(str(tmp_path), "train")
+        assert len(ds) == 1
+
+
+class TestQuantization:
+    def test_int8_dense_close(self, rng):
+        from cpu_vision_tpu.models import quantization as Q
+
+        x = jnp.asarray(rng.random((4, 128), dtype=np.float32))
+        w = jnp.asarray(rng.normal(0, 0.1, (128, 64)).astype(np.float32))
+        q, s = Q.quantize_weight(w)
+        out = Q.int8_dense(x, q, s)
+        ref = x @ w
+        assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 0.03
+
+    def test_quantize_restore_roundtrip(self, rng):
+        from cpu_vision_tpu.models import quantization as Q
+
+        params = {"big": jnp.asarray(rng.normal(0, 1, (128, 64)).astype(np.float32)),
+                  "small": jnp.asarray(rng.normal(0, 1, (4,)).astype(np.float32))}
+        qp, meta = Q.quantize_params(params, min_size=1024)
+        assert meta == [True, False]
+        rp = Q.restore_params(qp)
+        rel = float(jnp.abs(rp["big"] - params["big"]).max() / jnp.abs(params["big"]).max())
+        assert rel < 0.02
+        np.testing.assert_array_equal(np.asarray(rp["small"]), np.asarray(params["small"]))
+        assert Q.param_bytes(qp) < Q.param_bytes(params) / 2
+
+    def test_quantized_resnet_top1_stable(self, rng):
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models import quantization as Q
+
+        m = models.get_model("resnet18", num_classes=10)
+        x = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        qp, _ = Q.quantize_params(v["params"])
+        out = m.apply({"params": Q.restore_params(qp), "batch_stats": v["batch_stats"]}, x, train=False)
+        ref = m.apply(v, x, train=False)
+        assert int(jnp.argmax(out)) == int(jnp.argmax(ref))
