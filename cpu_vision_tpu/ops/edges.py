@@ -83,9 +83,20 @@ def canny_nms(mag: jax.Array, gx: jax.Array, gy: jax.Array) -> jax.Array:
     return jnp.where(keep, mag, 0.0)
 
 
-def hysteresis(strong: jax.Array, weak: jax.Array, max_iters: Optional[int] = None) -> jax.Array:
+def hysteresis(
+    strong: jax.Array,
+    weak: jax.Array,
+    max_iters: Optional[int] = None,
+    steps_per_iter: int = 1,
+) -> jax.Array:
     """Grow ``strong`` (N,H,W bool) through 8-connected ``weak`` pixels until
-    fixpoint (bounded ``while_loop``).  Returns the final strong mask."""
+    fixpoint (bounded ``while_loop``).  Returns the final strong mask.
+
+    ``steps_per_iter`` propagation steps run between convergence checks
+    (growth is monotone so the result is identical).  Measured on v5e the
+    per-iteration ``any`` check is cheap and extra tail dilations dominate,
+    so the default stays 1.
+    """
 
     def dilate(m: jax.Array) -> jax.Array:
         out = m
@@ -103,8 +114,10 @@ def hysteresis(strong: jax.Array, weak: jax.Array, max_iters: Optional[int] = No
 
     def body(state):
         mask, _, it = state
-        grown = dilate(mask) & weak | mask
-        return grown, jnp.any(grown != mask), it + 1
+        grown = mask
+        for _ in range(steps_per_iter):
+            grown = dilate(grown) & weak | grown
+        return grown, jnp.any(grown != mask), it + steps_per_iter
 
     mask, _, _ = lax.while_loop(cond, body, (strong, jnp.asarray(True), jnp.asarray(0)))
     return mask
