@@ -20,7 +20,8 @@ from flax import linen as nn
 from ._api import register_model
 from .layers import StochasticDepth
 
-__all__ = ["SwinTransformer", "swin_t", "swin_s", "swin_b"]
+__all__ = ["SwinTransformer", "swin_t", "swin_s", "swin_b",
+           "swin_v2_t", "swin_v2_s", "swin_v2_b"]
 
 
 def _window_partition(x, ws: int):
@@ -42,10 +43,20 @@ def _relative_position_index(ws: int) -> np.ndarray:
     return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
 
 
+def _log_cpb_coords(ws: int) -> np.ndarray:
+    """Log-spaced continuous relative coordinates (Swin V2, reference
+    ``swin_transformer.py:ShiftedWindowAttentionV2``)."""
+    rel = np.arange(-(ws - 1), ws, dtype=np.float32)
+    ry, rx = np.meshgrid(rel, rel, indexing="ij")
+    coords = np.stack([ry, rx], -1) / (ws - 1) * 8.0 if ws > 1 else np.zeros((1, 1, 2), np.float32)
+    return np.sign(coords) * np.log2(np.abs(coords) + 1.0) / 3.0
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window_size: int
+    v2: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -55,15 +66,30 @@ class WindowAttention(nn.Module):
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, c // self.num_heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scale = (c // self.num_heads) ** -0.5
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-        table = self.param(
-            "relative_position_bias_table",
-            nn.initializers.normal(stddev=0.02),
-            ((2 * ws - 1) ** 2, self.num_heads),
-        )
         idx = jnp.asarray(_relative_position_index(ws)).reshape(-1)
-        bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+        if self.v2:
+            # cosine attention with learned per-head logit scale
+            qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
+            kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
+            logit_scale = self.param(
+                "logit_scale", nn.initializers.constant(np.log(10.0)), (self.num_heads, 1, 1)
+            )
+            attn = jnp.einsum("bnhd,bmhd->bhnm", qn, kn)
+            attn = attn * jnp.exp(jnp.minimum(logit_scale, np.log(100.0)))[None]
+            # continuous position bias: 2-layer MLP over log coords
+            coords = jnp.asarray(_log_cpb_coords(ws).reshape(-1, 2))
+            hcpb = nn.relu(nn.Dense(512, dtype=self.dtype, name="cpb_fc1")(coords))
+            table = nn.Dense(self.num_heads, use_bias=False, dtype=self.dtype, name="cpb_fc2")(hcpb)
+            bias = 16.0 * nn.sigmoid(table[idx].reshape(n, n, self.num_heads)).transpose(2, 0, 1)
+        else:
+            scale = (c // self.num_heads) ** -0.5
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+            table = self.param(
+                "relative_position_bias_table",
+                nn.initializers.normal(stddev=0.02),
+                ((2 * ws - 1) ** 2, self.num_heads),
+            )
+            bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
         attn = attn + bias[None]
         if mask is not None:
             nw = mask.shape[0]
@@ -81,6 +107,7 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float = 4.0
     sd_prob: float = 0.0
+    v2: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -91,11 +118,18 @@ class SwinBlock(nn.Module):
         # (reference shifted_window_attention: shift_size zeroed per-dim)
         shift = self.shift if ws < min(h, w) else 0
         res = x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        # V2 uses post-norm (norm applied to the branch output)
+        y = x if self.v2 else nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        # pad to window multiples (the reference pads inside
+        # shifted_window_attention and crops after)
+        ph = (h + ws - 1) // ws * ws
+        pw = (w + ws - 1) // ws * ws
+        if (ph, pw) != (h, w):
+            y = jnp.pad(y, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
             # attention mask for wrapped windows
-            img_mask = np.zeros((1, h, w, 1), np.float32)
+            img_mask = np.zeros((1, ph, pw, 1), np.float32)
             cnt = 0
             for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
                 for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
@@ -106,15 +140,21 @@ class SwinBlock(nn.Module):
         else:
             mask = None
         windows = _window_partition(y, ws)
-        attn = WindowAttention(self.dim, self.num_heads, ws, self.dtype)(windows, mask)
-        y = _window_reverse(attn, ws, n, h, w)
+        attn = WindowAttention(self.dim, self.num_heads, ws, v2=self.v2, dtype=self.dtype)(windows, mask)
+        y = _window_reverse(attn, ws, n, ph, pw)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        if (ph, pw) != (h, w):
+            y = y[:, :h, :w, :]
+        if self.v2:
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
         x = res + StochasticDepth(self.sd_prob, "row")(y, train)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        y = x if self.v2 else nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
+        if self.v2:
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
         return x + StochasticDepth(self.sd_prob, "row")(y, train)
 
 
@@ -146,6 +186,7 @@ class SwinTransformer(nn.Module):
     window_size: int = 7
     sd_prob: float = 0.2
     num_classes: int = 1000
+    v2: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -164,7 +205,7 @@ class SwinTransformer(nn.Module):
                 x = SwinBlock(
                     dim, heads, self.window_size,
                     shift=0 if blk % 2 == 0 else self.window_size // 2,
-                    sd_prob=sd, dtype=self.dtype,
+                    sd_prob=sd, v2=self.v2, dtype=self.dtype,
                 )(x, train)
                 bid += 1
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
@@ -172,9 +213,9 @@ class SwinTransformer(nn.Module):
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 
 
-def _make(name, dim, depths, heads, sd):
+def _make(name, dim, depths, heads, sd, v2=False, window=7):
     def builder(*, num_classes: int = 1000, dtype=jnp.float32):
-        return SwinTransformer(dim, depths, heads, 7, sd, num_classes, dtype)
+        return SwinTransformer(dim, depths, heads, window, sd, num_classes, v2, dtype)
 
     builder.__name__ = name
     return register_model(name)(builder)
@@ -183,3 +224,7 @@ def _make(name, dim, depths, heads, sd):
 swin_t = _make("swin_t", 96, (2, 2, 6, 2), (3, 6, 12, 24), 0.2)
 swin_s = _make("swin_s", 96, (2, 2, 18, 2), (3, 6, 12, 24), 0.3)
 swin_b = _make("swin_b", 128, (2, 2, 18, 2), (4, 8, 16, 32), 0.5)
+# V2: cosine attention + post-norm + log-CPB, window 8 (reference swin_v2_*)
+swin_v2_t = _make("swin_v2_t", 96, (2, 2, 6, 2), (3, 6, 12, 24), 0.2, v2=True, window=8)
+swin_v2_s = _make("swin_v2_s", 96, (2, 2, 18, 2), (3, 6, 12, 24), 0.3, v2=True, window=8)
+swin_v2_b = _make("swin_v2_b", 128, (2, 2, 18, 2), (4, 8, 16, 32), 0.5, v2=True, window=8)

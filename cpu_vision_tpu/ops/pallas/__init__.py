@@ -10,6 +10,7 @@ from .conv_block import conv3x3_relu_pool, fused_conv3x3_relu_pool  # noqa: F401
 from .stencil import (  # noqa: F401
     canny_stage1,
     fused_blur_sobel,
+    fused_gaussian_blur,
     fused_canny,
     harris_response_fused,
 )

@@ -43,6 +43,7 @@ def _gaussian_taps(kernel_size: int, sigma: float) -> np.ndarray:
     return (pdf / pdf.sum()).astype(np.float32)
 
 __all__ = [
+    "fused_gaussian_blur",
     "fused_blur_sobel",
     "canny_stage1",
     "fused_canny",
@@ -205,6 +206,26 @@ def _as_nhw(image: jax.Array) -> Tuple[jax.Array, Callable[[jax.Array], jax.Arra
         return restore4(out)
 
     return maps, restore
+
+
+def fused_gaussian_blur(
+    image: jax.Array,
+    kernel_size: int = 5,
+    sigma: float = 1.5,
+    interpret: bool = False,
+) -> jax.Array:
+    """Separable Gaussian blur in one fused VMEM pass (float path of
+    ``ops.gaussian_blur``; reflect padding)."""
+    k1 = _gaussian_taps(kernel_size, sigma)
+    halo = kernel_size // 2
+    maps, restore = _as_nhw(image)
+
+    def compute(tile: jax.Array, th_eff: int):
+        wv = tile.shape[1] - 2 * halo
+        return (_sep_blur(tile, k1, k1, th_eff, wv),)
+
+    (out,) = _halo_stencil_call(maps, halo, compute, [jnp.float32], interpret=interpret)
+    return restore(out)
 
 
 def fused_blur_sobel(

@@ -1,0 +1,70 @@
+"""End-to-end learning: models actually learn (overfit) on tiny data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from cpu_vision_tpu.ops.cnn import cnn_forward, cnn_init
+
+
+def test_cnn_overfits_tiny_dataset(rng):
+    """LeNet-style CNN drives training accuracy to ~100% on 32 samples."""
+    n, hw, classes = 32, 16, 4
+    x = jnp.asarray(rng.random((n, hw, hw, 1), dtype=np.float32))
+    y = jnp.asarray(rng.integers(0, classes, n))
+    params = cnn_init(jax.random.PRNGKey(0), (hw, hw), 1, (16, 32), 64, classes)
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = cnn_forward(p, x)
+            return optax.softmax_cross_entropy(logits, jax.nn.one_hot(y, classes)).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    first_loss = None
+    for i in range(150):
+        params, opt_state, loss = step(params, opt_state)
+        if first_loss is None:
+            first_loss = float(loss)
+    acc = float(jnp.mean((jnp.argmax(cnn_forward(params, x), -1) == y).astype(jnp.float32)))
+    assert float(loss) < first_loss * 0.1, f"loss didn't drop: {first_loss} -> {float(loss)}"
+    assert acc >= 0.95, f"failed to overfit: acc {acc}"
+
+
+def test_fused_gaussian_blur_matches(rng):
+    from cpu_vision_tpu import ops
+    from cpu_vision_tpu.ops.pallas import fused_gaussian_blur
+
+    img = jnp.asarray(rng.random((2, 40, 56, 3), dtype=np.float32))
+    ref = np.asarray(ops.gaussian_blur(img, 5, 1.5))
+    out = np.asarray(fused_gaussian_blur(img, 5, 1.5, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_swin_v2_forward(rng):
+    from cpu_vision_tpu import models
+
+    m = models.get_model("swin_v2_t", num_classes=5)
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 5) and bool(jnp.all(jnp.isfinite(out)))
+    assert "swin_v2_s" in models.list_models() and "swin_v2_b" in models.list_models()
+
+
+def test_swin_non_multiple_window(rng):
+    # 80x80 -> stage maps 20/10/5: needs the window-multiple padding path
+    from cpu_vision_tpu import models
+
+    m = models.get_model("swin_t", num_classes=3)
+    x = jnp.asarray(rng.random((1, 80, 80, 3), dtype=np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 3) and bool(jnp.all(jnp.isfinite(out)))
