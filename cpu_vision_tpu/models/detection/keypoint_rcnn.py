@@ -88,6 +88,39 @@ class KeypointRCNN(FasterRCNN):
         return dets
 
 
+    def keypoint_loss(
+        self,
+        features: Sequence[jnp.ndarray],
+        rois: jnp.ndarray,
+        gt_keypoints: jnp.ndarray,
+        kp_valid: jnp.ndarray,
+        pos: jnp.ndarray,
+        image_size: Tuple[int, int],
+    ) -> jnp.ndarray:
+        """Cross-entropy over heatmap positions (reference ``keypointrcnn_loss``
+        / ``keypoints_to_heatmap``, ``roi_heads.py:137-200``).
+
+        ``gt_keypoints`` (N, S, K, 2) xy in image coords; ``kp_valid``
+        (N, S, K) visibility; ``pos`` (N, S) positive-roi mask.
+        """
+        logits = self.predict_keypoints(features, rois, image_size)  # (N,S,HM,HM,K)
+        n, s_count, hm, _, k = logits.shape
+        x1 = rois[..., 0:1]
+        y1 = rois[..., 1:2]
+        w = jnp.maximum(rois[..., 2:3] - x1, 1.0)
+        h = jnp.maximum(rois[..., 3:4] - y1, 1.0)
+        # keypoint -> heatmap cell (reference keypoints_to_heatmap)
+        kx = jnp.floor((gt_keypoints[..., 0] - x1) / w * hm)
+        ky = jnp.floor((gt_keypoints[..., 1] - y1) / h * hm)
+        inside = (kx >= 0) & (kx < hm) & (ky >= 0) & (ky < hm)
+        valid = kp_valid & inside & pos[..., None]
+        tgt = (jnp.clip(ky, 0, hm - 1) * hm + jnp.clip(kx, 0, hm - 1)).astype(jnp.int32)
+        flat = logits.reshape(n, s_count, hm * hm, k).transpose(0, 1, 3, 2)  # (N,S,K,HM²)
+        logp = jax.nn.log_softmax(flat, axis=-1)
+        ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        return (ce * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+
 @register_model("keypointrcnn_resnet50_fpn")
 def keypointrcnn_resnet50_fpn(*, num_classes: int = 2, num_keypoints: int = 17,
                               dtype=jnp.float32, **kwargs) -> KeypointRCNN:

@@ -84,6 +84,7 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     groups: int = 1
     base_width: int = 64
+    dilation: int = 1
     zero_init_residual: bool = True
     dtype: Any = jnp.float32
     expansion: int = 4
@@ -95,8 +96,10 @@ class Bottleneck(nn.Module):
         out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype)(x)
         out = _norm(train, self.dtype)(out)
         out = nn.relu(out)
+        d = self.dilation
         out = nn.Conv(width, (3, 3), (self.strides, self.strides),
-                      padding=[(1, 1), (1, 1)], feature_group_count=self.groups,
+                      padding=[(d, d), (d, d)], kernel_dilation=(d, d),
+                      feature_group_count=self.groups,
                       use_bias=False, dtype=self.dtype)(out)
         out = _norm(train, self.dtype)(out)
         out = nn.relu(out)
@@ -121,6 +124,7 @@ class ResNet(nn.Module):
     groups: int = 1
     width_per_group: int = 64
     zero_init_residual: bool = True
+    replace_stride_with_dilation: Sequence[bool] = (False, False, False)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -133,13 +137,18 @@ class ResNet(nn.Module):
         # torch maxpool k3 s2 p1
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
         x = nn.max_pool(x, (3, 3), (2, 2))
+        dilation = 1
         for i, (width, n_blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
+            stage_stride = 2 if i > 0 else 1
+            # reference _make_layer: dilate instead of striding when requested
+            if i > 0 and self.replace_stride_with_dilation[i - 1]:
+                dilation *= stage_stride
+                stage_stride = 1
             for j in range(n_blocks):
-                strides = 2 if (i > 0 and j == 0) else 1
+                strides = stage_stride if j == 0 else 1
                 expansion = getattr(self.block, "expansion", 1)
                 downsample = j == 0 and (strides != 1 or x.shape[-1] != width * expansion)
-                x = self.block(
-                    width,
+                block_kwargs = dict(
                     strides=strides,
                     downsample=downsample,
                     groups=self.groups,
@@ -147,7 +156,10 @@ class ResNet(nn.Module):
                     zero_init_residual=self.zero_init_residual,
                     dtype=self.dtype,
                     name=f"layer{i + 1}_{j}",
-                )(x, train=train)
+                )
+                if self.block is Bottleneck:
+                    block_kwargs["dilation"] = dilation
+                x = self.block(width, **block_kwargs)(x, train=train)
             feats[f"layer{i + 1}"] = x
         if features_only:
             return feats

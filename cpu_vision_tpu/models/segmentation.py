@@ -4,9 +4,8 @@ Reference: ``torchvision/models/segmentation/{fcn,deeplabv3,lraspp}.py`` —
 heads over a dilated ResNet / MobileNetV3 backbone via intermediate feature
 taps; logits upsampled bilinearly to the input size.
 
-Simplification vs reference: backbones run at stride 32 (no dilated stages
-yet); heads consume the ``layer3``/``layer4`` feature taps exposed by our
-ResNet's ``features_only`` mode.
+ResNet backbones are built with ``replace_stride_with_dilation=(False, True,
+True)`` like the reference, so heads see output-stride-8 features.
 """
 
 from __future__ import annotations
@@ -168,22 +167,22 @@ class LRASPP(nn.Module):
 
 @register_model("fcn_resnet50")
 def fcn_resnet50(*, num_classes: int = 21, aux_loss: bool = False, dtype=jnp.float32):
-    return FCN(ResNet(Bottleneck, (3, 4, 6, 3), dtype=dtype), num_classes, aux_loss, dtype)
+    return FCN(ResNet(Bottleneck, (3, 4, 6, 3), replace_stride_with_dilation=(False, True, True), dtype=dtype), num_classes, aux_loss, dtype)
 
 
 @register_model("fcn_resnet101")
 def fcn_resnet101(*, num_classes: int = 21, aux_loss: bool = False, dtype=jnp.float32):
-    return FCN(ResNet(Bottleneck, (3, 4, 23, 3), dtype=dtype), num_classes, aux_loss, dtype)
+    return FCN(ResNet(Bottleneck, (3, 4, 23, 3), replace_stride_with_dilation=(False, True, True), dtype=dtype), num_classes, aux_loss, dtype)
 
 
 @register_model("deeplabv3_resnet50")
 def deeplabv3_resnet50(*, num_classes: int = 21, aux_loss: bool = False, dtype=jnp.float32):
-    return DeepLabV3(ResNet(Bottleneck, (3, 4, 6, 3), dtype=dtype), num_classes, aux_loss, dtype)
+    return DeepLabV3(ResNet(Bottleneck, (3, 4, 6, 3), replace_stride_with_dilation=(False, True, True), dtype=dtype), num_classes, aux_loss, dtype)
 
 
 @register_model("deeplabv3_resnet101")
 def deeplabv3_resnet101(*, num_classes: int = 21, aux_loss: bool = False, dtype=jnp.float32):
-    return DeepLabV3(ResNet(Bottleneck, (3, 4, 23, 3), dtype=dtype), num_classes, aux_loss, dtype)
+    return DeepLabV3(ResNet(Bottleneck, (3, 4, 23, 3), replace_stride_with_dilation=(False, True, True), dtype=dtype), num_classes, aux_loss, dtype)
 
 
 @register_model("lraspp_mobilenet_v3_large")

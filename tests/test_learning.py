@@ -68,3 +68,29 @@ def test_swin_non_multiple_window(rng):
     v = m.init(jax.random.PRNGKey(0), x, train=False)
     out = m.apply(v, x, train=False)
     assert out.shape == (1, 3) and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_dilated_backbone_output_stride8():
+    from cpu_vision_tpu.models.resnet import Bottleneck, ResNet
+
+    bb = ResNet(Bottleneck, (3, 4, 6, 3), replace_stride_with_dilation=(False, True, True))
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    v = bb.init(jax.random.PRNGKey(0), x, train=False)
+    feats = bb.apply(v, x, train=False, features_only=True)
+    assert feats["layer4"].shape[1:3] == (8, 8)  # stride 8, not 2
+
+
+def test_keypoint_loss_finite(rng):
+    from cpu_vision_tpu.models import detection as det
+
+    m = det.KeypointRCNN(num_classes=2, num_keypoints=5, rpn_pre_nms_top_n=50,
+                         rpn_post_nms_top_n=16, max_detections=4)
+    x = jnp.ones((1, 128, 128, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    feats = m.apply(v, x, train=False, method=lambda mm, im, train: mm.backbone(im, train=train))
+    rois = jnp.asarray([[[10.0, 10, 60, 60], [30.0, 30, 90, 90]]])
+    kps = jnp.asarray(rng.random((1, 2, 5, 2)) * 50 + 15).astype(jnp.float32)
+    loss = m.apply(v, feats[:4], rois, kps, jnp.ones((1, 2, 5), bool),
+                   jnp.ones((1, 2), bool), (128, 128), method=m.keypoint_loss)
+    # CE over 56x56 heatmap positions ~ ln(3136) at random init
+    assert 6.0 < float(loss) < 10.0
