@@ -5,7 +5,6 @@ stl10,svhn}.py``)."""
 from __future__ import annotations
 
 import os
-import pickle
 from typing import Callable, Optional
 
 import numpy as np

@@ -9,7 +9,7 @@ via ``shard_batch``; this covers the reference-script use case.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterator, Optional, Sequence
+from typing import Callable, Iterator, Sequence
 
 import numpy as np
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 import csv
 import json
 import os
-from typing import Callable, List, Optional, Tuple
+from typing import List, Tuple
 
 from .folder import ImageFolder, default_loader
 from .vision import VisionDataset

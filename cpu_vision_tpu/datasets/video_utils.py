@@ -11,7 +11,7 @@ clips index frame sequences provided as arrays, frame directories, or a
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -8,7 +8,7 @@ and device transfer live in the data-loading layer.
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional
 
 __all__ = ["VisionDataset", "StandardTransform"]
 

@@ -4,7 +4,7 @@ depth; patchify stem; LN downsampling between stages."""
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

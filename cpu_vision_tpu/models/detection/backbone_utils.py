@@ -3,7 +3,7 @@ feature_pyramid_network.py:36-238`` and ``models/detection/backbone_utils.py:13`
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

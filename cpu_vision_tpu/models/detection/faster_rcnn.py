@@ -7,7 +7,7 @@ fixed-shape so the whole detector jits as one program.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

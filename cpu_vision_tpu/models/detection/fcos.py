@@ -6,7 +6,7 @@ distance regression + centerness, GIoU box loss, center-sampling assignment.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ training targets are rasterised from gt masks by RoIAlign (the reference's
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ proposals per image (masked); inference emits padded ``max_detections``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

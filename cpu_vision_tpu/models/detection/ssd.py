@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import itertools
 import math
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, List, Sequence
 
 import numpy as np
 

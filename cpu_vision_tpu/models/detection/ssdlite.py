@@ -5,7 +5,7 @@ C4/C5 taps, depthwise-separable extra blocks and lite prediction heads.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp

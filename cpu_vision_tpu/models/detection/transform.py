@@ -10,7 +10,7 @@ max-size bound), so batches are jit-stable across image sizes.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 

@@ -4,9 +4,8 @@ FusedMBConv for V2, compound width/depth scaling."""
 
 from __future__ import annotations
 
-import copy
 import math
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

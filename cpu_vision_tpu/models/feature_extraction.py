@@ -8,7 +8,7 @@ Counterpart of the reference's FX-based ``create_feature_extractor``
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Mapping, Sequence
+from typing import Any, Callable, Dict, Mapping, Sequence
 
 import jax
 

@@ -3,7 +3,7 @@ and ``inception.py``)."""
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

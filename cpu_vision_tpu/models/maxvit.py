@@ -7,8 +7,7 @@ TPU notes: both attention variants are pure reshape/transpose partitions
 
 from __future__ import annotations
 
-import math
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import numpy as np
 

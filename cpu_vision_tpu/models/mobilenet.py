@@ -4,7 +4,7 @@ and ``mobilenetv3.py``): inverted residuals, hard-swish/SE bnecks, the
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

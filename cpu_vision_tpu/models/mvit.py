@@ -9,7 +9,7 @@ decomposed relative position embeddings (noted departure).
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Tuple
 
 import numpy as np
 

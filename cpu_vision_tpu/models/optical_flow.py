@@ -9,7 +9,7 @@ count (static shapes).
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ model; ``quantize_linear_params`` + ``int8_dense`` are the building blocks.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

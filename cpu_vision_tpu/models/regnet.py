@@ -5,7 +5,7 @@ bottleneck X-blocks with group conv, Y adds SE."""
 from __future__ import annotations
 
 import math
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import numpy as np
 

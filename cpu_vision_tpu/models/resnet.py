@@ -12,8 +12,7 @@ activations with f32 params/statistics.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple, Type
+from typing import Any, Sequence, Type
 
 import jax.numpy as jnp
 from flax import linen as nn

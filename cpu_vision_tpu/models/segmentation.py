@@ -10,7 +10,7 @@ True)`` like the reference, so heads see output-stride-8 features.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

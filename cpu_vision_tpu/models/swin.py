@@ -7,9 +7,7 @@ cyclic shift is ``jnp.roll``; attention is batched over windows on the MXU.
 
 from __future__ import annotations
 
-import itertools
-import math
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Sequence
 
 import numpy as np
 

@@ -6,7 +6,7 @@ Layout: NTHWC (time before space); 3D convs land on the MXU like 2D ones.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

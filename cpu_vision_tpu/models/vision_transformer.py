@@ -7,7 +7,7 @@ use ``dtype=jnp.bfloat16`` for the standard mixed-precision recipe.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -13,7 +13,7 @@ shapes.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ response ``det(M) - k·tr(M)²``, then threshold + 3x3 local NMS.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

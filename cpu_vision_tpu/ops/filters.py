@@ -17,8 +17,6 @@ Semantics match the reference library:
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Optional, Sequence, Tuple, Union
 
 import jax

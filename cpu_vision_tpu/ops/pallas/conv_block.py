@@ -17,7 +17,7 @@ The XLA oracle is ``ops.cnn.cnn_forward``'s conv→relu→pool stage.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -18,9 +18,7 @@ paths named by the north star (gaussian+sobel, canny, harris).
 
 from __future__ import annotations
 
-import functools
-import math
-from typing import Callable, Optional, Sequence, Tuple, Union
+from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np
 

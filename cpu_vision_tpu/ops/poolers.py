@@ -13,7 +13,7 @@ exchange for fully static shapes (L is 4).
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ resize/warp on batch of 64 RGB 640x480 images" (BASELINE.json).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

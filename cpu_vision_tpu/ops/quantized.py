@@ -9,7 +9,7 @@ exactly like the C++ (arithmetic in f32, requantise at the end).
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

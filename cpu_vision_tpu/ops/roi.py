@@ -25,7 +25,7 @@ Layout: features are (N, H, W, C); ``rois`` are (K, 5) rows of
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ locally.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -9,7 +9,7 @@ from __future__ import annotations
 import datetime
 import time
 from collections import defaultdict, deque
-from typing import Iterable, Optional
+from typing import Iterable
 
 import numpy as np
 

@@ -4,7 +4,7 @@ recipe preset (``references/classification/presets.py``)."""
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 

@@ -12,7 +12,7 @@ Randomness from explicit PRNG keys; ops run on uint8 or float images
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import numpy as np

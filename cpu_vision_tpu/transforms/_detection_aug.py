@@ -4,7 +4,7 @@ compression aug (reference ``transforms/v2/_geometry.py:1088`` and
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -10,7 +10,7 @@ dispatch as :class:`~cpu_vision_tpu.tv_arrays.Image`.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, Type
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,7 @@ All geometry is channels-last; sizes are (height, width) static ints.
 
 from __future__ import annotations
 
-import math
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

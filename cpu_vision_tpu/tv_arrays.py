@@ -17,7 +17,7 @@ reference's ``tv_tensors.wrap``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Tuple, Union
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
