@@ -19,7 +19,7 @@ from .video_utils import RandomClipSampler, UniformClipSampler, VideoClips  # no
 from .voc import VOC_CLASSES, VOCDetection, VOCSegmentation  # noqa: F401
 from .fakedata import FakeData  # noqa: F401
 from .folder import DatasetFolder, ImageFolder  # noqa: F401
-from .loader import DataLoader  # noqa: F401
+from .loader import DataLoader, DistributedSampler  # noqa: F401
 from .mnist import KMNIST, MNIST, FashionMNIST  # noqa: F401
 from .utils import (  # noqa: F401
     check_integrity,

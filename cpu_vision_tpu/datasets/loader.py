@@ -67,3 +67,40 @@ class DataLoader:
             if self.drop_last and len(idx) < self.batch_size:
                 return
             yield self.collate_fn([self.dataset[int(i)] for i in idx])
+
+
+class DistributedSampler:
+    """Per-process index sharding (reference ``torch.utils.data.
+    DistributedSampler`` as used by ``references/classification/train.py:195``):
+    each process sees a disjoint, padded-to-equal-length slice, reshuffled
+    per epoch."""
+
+    def __init__(self, dataset, num_replicas: int = None, rank: int = None,
+                 shuffle: bool = True, seed: int = 0):
+        import jax
+
+        self.dataset = dataset
+        self.num_replicas = num_replicas if num_replicas is not None else jax.process_count()
+        self.rank = rank if rank is not None else jax.process_index()
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.num_samples = (len(dataset) + self.num_replicas - 1) // self.num_replicas
+        self.total_size = self.num_samples * self.num_replicas
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        # pad to make it evenly divisible (wrap around like the reference)
+        if self.total_size > n:
+            order = np.concatenate([order, order[: self.total_size - n]])
+        return iter(order[self.rank : self.total_size : self.num_replicas].tolist())
+
+    def __len__(self):
+        return self.num_samples

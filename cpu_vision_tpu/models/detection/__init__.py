@@ -18,4 +18,5 @@ from .mask_rcnn import MaskRCNN, MaskRCNNHeads, maskrcnn_resnet50_fpn  # noqa: F
 from .retinanet import RetinaNet, RetinaNetHead, retinanet_resnet50_fpn  # noqa: F401
 from .roi_heads import FastRCNNPredictor, RoIHeads, TwoMLPHead  # noqa: F401
 from .rpn import RegionProposalNetwork, RPNHead  # noqa: F401
+from .generalized_rcnn import detect  # noqa: F401
 from .transform import GeneralizedRCNNTransform  # noqa: F401
