@@ -125,7 +125,7 @@ def _halo_stencil_call(
             dma(nxt % 2, nxt_ni, nxt_ti).start()
 
         dma(step % 2, ni, ti).wait()
-        results = compute(scratch[step % 2], th)
+        results = compute(scratch[step % 2], th, ti)
         for ref, res in zip(out_refs, results):
             ref[0] = res[:, :w].astype(ref.dtype)
 
@@ -218,7 +218,7 @@ def fused_gaussian_blur(
     halo = kernel_size // 2
     maps, restore = _as_nhw(image)
 
-    def compute(tile: jax.Array, th_eff: int):
+    def compute(tile: jax.Array, th_eff: int, ti=0):
         wv = tile.shape[1] - 2 * halo
         return (_sep_blur(tile, k1, k1, th_eff, wv),)
 
@@ -242,7 +242,7 @@ def fused_blur_sobel(
     halo = r + 1
     maps, restore = _as_nhw(image)
 
-    def compute(tile: jax.Array, th_eff: int):
+    def compute(tile: jax.Array, th_eff: int, ti=0):
         wv = tile.shape[1] - 2 * halo
         # blur on the (th+2, wv+2) region needed by sobel
         b = _sep_blur(tile, k1, k1, th_eff + 2, wv + 2)
@@ -260,18 +260,24 @@ def canny_stage1(
     kernel_size: int = 5,
     sigma: float = 1.4,
     interpret: bool = False,
+    in_tile_hysteresis: bool = False,
 ) -> jax.Array:
     """Fused Canny front half: blur → sobel → magnitude → directional NMS →
     double threshold, one VMEM pass.  ``maps`` is (N, H, W) float32 grayscale.
     Returns a (N,H,W) uint8 class map: 2 = strong, 1 = weak, 0 = suppressed.
+
+    ``in_tile_hysteresis``: additionally grow strong through weak to an
+    in-tile fixpoint inside VMEM (the global hysteresis then converges in a
+    few cross-tile sweeps; the combined fixpoint is identical).
     """
     if maps.ndim != 3:
         raise ValueError(f"canny_stage1 expects (N, H, W) maps, got {maps.shape}")
     k1 = _gaussian_taps(kernel_size, sigma)
     r = kernel_size // 2
     halo = r + 2  # +1 sobel, +1 NMS neighbourhood
+    h_real, w_real = maps.shape[1], maps.shape[2]
 
-    def compute(tile: jax.Array, th_eff: int):
+    def compute(tile: jax.Array, th_eff: int, ti=0):
         wv = tile.shape[1] - 2 * halo
         # magnitude on a +1 halo ring for the NMS neighbour comparisons
         mh, mw = th_eff + 2, wv + 2
@@ -297,10 +303,57 @@ def canny_stage1(
         keep = (m0 >= nb1) & (m0 > nb2)
         sup = jnp.where(keep, m0, 0.0)
 
-        cls = jnp.where(sup >= high_threshold, 2, jnp.where(sup >= low_threshold, 1, 0))
+        strong = sup >= high_threshold
+        weak = sup >= low_threshold
+
+        if in_tile_hysteresis:
+            # resolve hysteresis chains *within* the tile while everything is
+            # in VMEM: grow strong through weak to an in-tile fixpoint.  The
+            # global fixpoint over tiles then only propagates cross-tile
+            # chains (a handful of sweeps instead of hundreds).  Shifts are
+            # pltpu.roll + boundary masks (Mosaic can't do misaligned slices).
+            sh, sw = strong.shape
+            rows = jax.lax.broadcasted_iota(jnp.int32, (sh, sw), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (sh, sw), 1)
+            # confine growth to the REAL image region: the lane/tile filler
+            # columns/rows contain artificial reflect->zero edges that must
+            # not seed or carry chains into real pixels
+            real = (cols < w_real) & (rows + ti * th_eff < h_real)
+            strong = strong & real
+            weak_i = (weak & real).astype(jnp.int32)
+
+            def shift_max(acc, m, dy, dx):
+                # pltpu.roll: circular, non-negative shifts, 32-bit data only
+                r = pltpu.roll(pltpu.roll(m, dy % sh, 0), dx % sw, 1)
+                valid = (rows - dy >= 0) & (rows - dy < sh) & (cols - dx >= 0) & (cols - dx < sw)
+                return jnp.maximum(acc, r * valid.astype(jnp.int32))
+
+            def dilate(m):
+                out = m
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dy == 0 and dx == 0:
+                            continue
+                        out = shift_max(out, m, dy, dx)
+                return out
+
+            def body(state):
+                grown, _ = state
+                new = jnp.maximum(dilate(grown) * weak_i, grown)
+                return new, jnp.any(new != grown)
+
+            strong_i, _ = jax.lax.while_loop(
+                lambda s: s[1], body, (strong.astype(jnp.int32), jnp.asarray(True))
+            )
+            strong = strong_i > 0
+
+        cls = jnp.where(strong, 2, jnp.where(weak, 1, 0))
         return (cls.astype(jnp.uint8),)
 
-    (out,) = _halo_stencil_call(maps, halo, compute, [jnp.uint8], interpret=interpret)
+    # the in-tile fixpoint holds several extra int32 tile temporaries; use a
+    # shorter row band to stay inside VMEM
+    tile_h = 64 if in_tile_hysteresis else None
+    (out,) = _halo_stencil_call(maps, halo, compute, [jnp.uint8], tile_h=tile_h, interpret=interpret)
     return out
 
 
@@ -328,6 +381,10 @@ def fused_canny(
     nhwc, restore4 = ensure_nhwc(fimg)
     maps = nhwc[..., 0]  # (N,H,W)
 
+    # NOTE: in_tile_hysteresis=True is correct (bit-equal) but measured
+    # SLOWER on v5e: the per-tile fixpoints serialise through the grid while
+    # the global XLA dilation runs the whole (N,H,W) map in parallel per
+    # sweep (noise 1080p: 13.2ms vs 6.2ms).  Kept as an option.
     cls = canny_stage1(maps, low_threshold, high_threshold, kernel_size, sigma, interpret=interpret)
     strong = cls == 2
     weak = cls >= 1
@@ -359,7 +416,7 @@ def harris_response_fused(
     r = window_size // 2
     halo = 1 + r  # sobel then window blur
 
-    def compute(tile: jax.Array, th_eff: int):
+    def compute(tile: jax.Array, th_eff: int, ti=0):
         wv = tile.shape[1] - 2 * halo
         gh, gw = th_eff + 2 * r, wv + 2 * r
         gx, gy = _sobel_pair(tile, gh, gw)

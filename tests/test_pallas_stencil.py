@@ -81,3 +81,15 @@ class TestFusedHarris:
         ref = np.asarray(ops.harris_response(jnp.asarray(img)))
         out = np.asarray(harris_response_fused(jnp.asarray(img), interpret=True))
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestInTileHysteresis:
+    def test_option_matches_xla_exactly(self, rng):
+        # correct but slower on v5e (see stencil.py note); verify the option
+        img = rng.random((1, 96, 120), dtype=np.float32)
+        from cpu_vision_tpu.ops.edges import hysteresis
+
+        cls = canny_stage1(jnp.asarray(img), 0.3, 0.6, interpret=True, in_tile_hysteresis=True)
+        edges = hysteresis(np.asarray(cls) == 2, np.asarray(cls) >= 1)
+        ref = np.asarray(ops.canny(jnp.asarray(img)[..., None], 0.3, 0.6, backend="xla"))[..., 0]
+        np.testing.assert_array_equal(np.asarray(edges).astype(np.float32), ref)
