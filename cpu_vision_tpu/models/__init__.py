@@ -22,6 +22,8 @@ from . import googlenet as _googlenet  # noqa: F401
 from . import maxvit as _maxvit  # noqa: F401
 from . import mvit as _mvit  # noqa: F401
 from . import quantization  # noqa: F401
+from . import torch_weights  # noqa: F401
+from .torch_weights import resnet_from_torch  # noqa: F401
 from . import regnet as _regnet  # noqa: F401
 from . import small_nets as _small_nets  # noqa: F401
 from . import swin as _swin  # noqa: F401
