@@ -4,6 +4,7 @@ batching/loading helpers (counterpart of ``torchvision/datasets``)."""
 from .cifar import CIFAR10, CIFAR100  # noqa: F401
 from .coco import CocoCaptions, CocoDetection  # noqa: F401
 from .extra import STL10, SVHN, ImageNet  # noqa: F401
+from .extra2 import CelebA, FER2013, LFWPeople, Omniglot  # noqa: F401
 from .simple import (  # noqa: F401
     DTD,
     Caltech101,

@@ -204,3 +204,53 @@ wide_resnet50_2 = _make_builder(
 wide_resnet101_2 = _make_builder(
     "wide_resnet101_2", Bottleneck, (3, 4, 23, 3), {"width_per_group": 128}
 )
+
+
+class ResNet18_Weights(WeightsEnum):
+    """Weights metadata for resnet18 (reference enum values,
+    ``resnet.py:312-330``).  Checkpoints load from the local weights cache
+    (no egress); torchvision ``.pth`` files convert via
+    ``models.torch_weights.resnet_from_torch``."""
+
+    IMAGENET1K_V1 = Weights(
+        url="resnet18-f37072fd.ckpt",
+        transforms=lambda: __import__(
+            "cpu_vision_tpu.train.presets", fromlist=["ImageClassificationEval"]
+        ).ImageClassificationEval(224, 256),
+        meta={
+            "num_params": 11_689_512,
+            "recipe": "https://github.com/pytorch/vision/tree/main/references/classification#resnet",
+            "_metrics": {"ImageNet-1K": {"acc@1": 69.758, "acc@5": 89.078}},
+        },
+    )
+    DEFAULT = IMAGENET1K_V1
+
+
+class ResNet50_Weights(WeightsEnum):
+    """(reference ``resnet.py:345-390``)."""
+
+    IMAGENET1K_V1 = Weights(
+        url="resnet50-0676ba61.ckpt",
+        transforms=lambda: __import__(
+            "cpu_vision_tpu.train.presets", fromlist=["ImageClassificationEval"]
+        ).ImageClassificationEval(224, 256),
+        meta={
+            "num_params": 25_557_032,
+            "_metrics": {"ImageNet-1K": {"acc@1": 76.130, "acc@5": 92.862}},
+        },
+    )
+    IMAGENET1K_V2 = Weights(
+        url="resnet50-11ad3fa6.ckpt",
+        transforms=lambda: __import__(
+            "cpu_vision_tpu.train.presets", fromlist=["ImageClassificationEval"]
+        ).ImageClassificationEval(224, 232),
+        meta={
+            "num_params": 25_557_032,
+            "_metrics": {"ImageNet-1K": {"acc@1": 80.858, "acc@5": 95.434}},
+        },
+    )
+    DEFAULT = IMAGENET1K_V2
+
+
+resnet18.weights_enum = ResNet18_Weights
+resnet50.weights_enum = ResNet50_Weights

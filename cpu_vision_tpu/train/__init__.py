@@ -4,5 +4,11 @@ the reference's ``references/classification/utils.py`` helpers and
 
 from .checkpoint import load_checkpoint, load_params, save_checkpoint  # noqa: F401
 from .metrics import MetricLogger, SmoothedValue, accuracy  # noqa: F401
-from .presets import ImageClassificationEval, ImageClassificationTrain  # noqa: F401
+from .presets import (  # noqa: F401
+    ImageClassificationEval,
+    ImageClassificationTrain,
+    ObjectDetectionEval,
+    SemanticSegmentationEval,
+    VideoClassificationEval,
+)
 from .ema import ExponentialMovingAverage  # noqa: F401

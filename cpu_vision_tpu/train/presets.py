@@ -10,7 +10,13 @@ import jax.numpy as jnp
 
 from .. import transforms as T
 
-__all__ = ["ImageClassificationEval", "ImageClassificationTrain"]
+__all__ = [
+    "ImageClassificationEval",
+    "ImageClassificationTrain",
+    "ObjectDetectionEval",
+    "SemanticSegmentationEval",
+    "VideoClassificationEval",
+]
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -61,3 +67,39 @@ def ImageClassificationTrain(
     if random_erase_prob > 0:
         ts.append(T.RandomErasing(p=random_erase_prob))
     return T.Compose(ts)
+
+
+def ObjectDetectionEval() -> T.Compose:
+    """Detection eval preset (reference ``ObjectDetection``,
+    ``transforms/_presets.py``): uint8 -> scaled float (resizing lives in
+    GeneralizedRCNNTransform)."""
+    return T.Compose([T.ToDtype(jnp.float32, scale=True)])
+
+
+def SemanticSegmentationEval(resize_size: int = 520) -> T.Compose:
+    """Segmentation eval preset (reference ``SemanticSegmentation``)."""
+    return T.Compose(
+        [
+            T.Resize(resize_size),
+            T.ToDtype(jnp.float32, scale=True),
+            T.Normalize(IMAGENET_MEAN, IMAGENET_STD),
+        ]
+    )
+
+
+def VideoClassificationEval(
+    crop_size: int = 112,
+    resize_size: int = 128,
+    mean: Sequence[float] = (0.43216, 0.394666, 0.37645),
+    std: Sequence[float] = (0.22803, 0.22145, 0.216989),
+) -> T.Compose:
+    """Video eval preset (reference ``VideoClassification``): applied to
+    Video arrays (NTHWC); resize/crop act frame-wise via the Video kernels."""
+    return T.Compose(
+        [
+            T.Resize(resize_size),
+            T.CenterCrop(crop_size),
+            T.ToDtype(jnp.float32, scale=True),
+            T.Normalize(mean, std),
+        ]
+    )

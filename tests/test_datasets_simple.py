@@ -124,3 +124,71 @@ class TestQuantization:
         out = m.apply({"params": Q.restore_params(qp), "batch_stats": v["batch_stats"]}, x, train=False)
         ref = m.apply(v, x, train=False)
         assert int(jnp.argmax(out)) == int(jnp.argmax(ref))
+
+
+class TestExtra2Datasets:
+    def test_celeba(self, tmp_path, rng):
+        base = tmp_path / "celeba"
+        (base / "img_align_celeba").mkdir(parents=True)
+        write_jpeg(_img(rng), str(base / "img_align_celeba" / "000001.jpg"))
+        write_jpeg(_img(rng), str(base / "img_align_celeba" / "000002.jpg"))
+        (base / "list_eval_partition.txt").write_text("000001.jpg 0\n000002.jpg 2\n")
+        (base / "list_attr_celeba.txt").write_text(
+            "2\nSmiling Young\n000001.jpg 1 -1\n000002.jpg -1 1\n"
+        )
+        ds = datasets.CelebA(str(tmp_path), "train")
+        assert len(ds) == 1
+        img, attr = ds[0]
+        assert list(attr) == [1, 0]
+
+    def test_lfw_people(self, tmp_path, rng):
+        base = tmp_path / "lfw-py"
+        (base / "lfw" / "Ada_Lovelace").mkdir(parents=True)
+        write_jpeg(_img(rng), str(base / "lfw" / "Ada_Lovelace" / "Ada_Lovelace_0001.jpg"))
+        (base / "peopleDevTrain.txt").write_text("1\nAda_Lovelace\t1\n")
+        ds = datasets.LFWPeople(str(tmp_path), "train")
+        img, t = ds[0]
+        assert t == 0 and len(ds) == 1
+
+    def test_fer2013(self, tmp_path, rng):
+        d = tmp_path / "fer2013"
+        d.mkdir()
+        pixels = " ".join(str(int(v)) for v in rng.integers(0, 256, 48 * 48))
+        (d / "train.csv").write_text(f"emotion,pixels\n3,{pixels}\n")
+        ds = datasets.FER2013(str(tmp_path), "train")
+        img, t = ds[0]
+        assert img.shape == (48, 48, 1) and t == 3
+
+    def test_omniglot(self, tmp_path, rng):
+        d = tmp_path / "omniglot-py" / "images_background" / "Latin" / "character01"
+        d.mkdir(parents=True)
+        write_png(_img(rng), str(d / "0001_01.png"))
+        ds = datasets.Omniglot(str(tmp_path))
+        img, t = ds[0]
+        assert t == 0 and len(ds) == 1
+
+    def test_presets_new(self, rng):
+        import jax.numpy as jnp
+
+        from cpu_vision_tpu.train import (
+            ObjectDetectionEval,
+            SemanticSegmentationEval,
+            VideoClassificationEval,
+        )
+        from cpu_vision_tpu.tv_arrays import Video
+
+        img = jnp.asarray(rng.integers(0, 256, (64, 64, 3)).astype(np.uint8))
+        out = ObjectDetectionEval()(img)
+        assert out.dtype == jnp.float32 and float(out.max()) <= 1.0
+        out = SemanticSegmentationEval(32)(img)
+        assert out.shape[-1] == 3 and out.dtype == jnp.float32
+        vid = Video(jnp.asarray(rng.integers(0, 256, (2, 4, 64, 64, 3)).astype(np.uint8)))
+        out = VideoClassificationEval(32, 40)(vid)
+        assert out.shape == (2, 4, 32, 32, 3)
+
+    def test_weights_enum(self):
+        from cpu_vision_tpu import models
+
+        w = models.get_weight("ResNet18_Weights.IMAGENET1K_V1")
+        assert w.meta["num_params"] == 11_689_512
+        assert models.get_model_weights("resnet50").DEFAULT.meta["_metrics"]["ImageNet-1K"]["acc@1"] == 80.858
