@@ -24,7 +24,14 @@ import numpy as np
 
 import jax.numpy as jnp
 
-__all__ = ["resnet_from_torch", "convert_conv", "convert_linear"]
+__all__ = [
+    "resnet_from_torch",
+    "sequential_cnn_from_torch",
+    "alexnet_from_torch",
+    "vgg_from_torch",
+    "convert_conv",
+    "convert_linear",
+]
 
 
 def _np(t) -> np.ndarray:
@@ -99,3 +106,53 @@ def resnet_from_torch(state_dict: Mapping, layers: Tuple[int, ...], bottleneck: 
         "bias": jnp.asarray(_np(sd["fc.bias"])),
     }
     return {"params": params, "batch_stats": stats}
+
+
+def _sequential_convs(sd: Mapping, prefix: str = "features"):
+    """Conv (weight, bias) pairs of a torch Sequential trunk, in index order."""
+    idxs = sorted(
+        {int(k.split(".")[1]) for k in sd if k.startswith(f"{prefix}.") and k.endswith(".weight")
+         and _np(sd[k]).ndim == 4}
+    )
+    return [(sd[f"{prefix}.{i}.weight"], sd.get(f"{prefix}.{i}.bias")) for i in idxs]
+
+
+def _sequential_linears(sd: Mapping, prefix: str = "classifier"):
+    idxs = sorted(
+        {int(k.split(".")[1]) for k in sd if k.startswith(f"{prefix}.") and k.endswith(".weight")
+         and _np(sd[k]).ndim == 2}
+    )
+    return [(sd[f"{prefix}.{i}.weight"], sd[f"{prefix}.{i}.bias"]) for i in idxs]
+
+
+def sequential_cnn_from_torch(state_dict: Mapping) -> Dict:
+    """Convert AlexNet/VGG-style torchvision checkpoints (a ``features``
+    Sequential of convs + a ``classifier`` Sequential of linears) into our
+    flax params (Conv_0..N, Dense_0..M).
+
+    The first linear consumes the flattened conv features: torch flattens
+    CHW, we flatten HWC, so its input dimension is re-ordered accordingly
+    (C = the last conv's output channels; spatial size inferred square).
+    """
+    params: Dict[str, Any] = {}
+    convs = _sequential_convs(state_dict)
+    for i, (w, b) in enumerate(convs):
+        entry = {"kernel": convert_conv(w)}
+        if b is not None:
+            entry["bias"] = jnp.asarray(_np(b))
+        params[f"Conv_{i}"] = entry
+    last_c = _np(convs[-1][0]).shape[0]
+    for i, (w, b) in enumerate(_sequential_linears(state_dict)):
+        wn = _np(w)
+        if i == 0 and wn.shape[1] % last_c == 0 and wn.shape[1] > last_c:
+            hw = wn.shape[1] // last_c
+            side = int(round(hw**0.5))
+            # (O, C*H*W) -> (O, C, H, W) -> (O, H, W, C) -> (O, H*W*C)
+            wn = wn.reshape(wn.shape[0], last_c, side, side)
+            wn = wn.transpose(0, 2, 3, 1).reshape(wn.shape[0], -1)
+        params[f"Dense_{i}"] = {"kernel": jnp.asarray(wn.T), "bias": jnp.asarray(_np(b))}
+    return {"params": params}
+
+
+alexnet_from_torch = sequential_cnn_from_torch
+vgg_from_torch = sequential_cnn_from_torch

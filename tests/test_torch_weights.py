@@ -94,3 +94,74 @@ def test_converted_tree_structure_matches_init(rng):
     ref_shapes = jax.tree.map(lambda a: a.shape, ref_vars)
     got_shapes = jax.tree.map(lambda a: a.shape, variables)
     assert ref_shapes == got_shapes
+
+
+class TorchVGG11(nn.Module):
+    """torchvision vgg11 layout (features Sequential + classifier)."""
+
+    def __init__(self, num_classes=10):
+        super().__init__()
+        layers, inp = [], 3
+        for v in [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"]:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers += [nn.Conv2d(inp, v, 3, padding=1), nn.ReLU(inplace=False)]
+                inp = v
+        self.features = nn.Sequential(*layers)
+        self.classifier = nn.Sequential(
+            nn.Linear(512 * 7 * 7, 4096), nn.ReLU(), nn.Dropout(0.0),
+            nn.Linear(4096, 4096), nn.ReLU(), nn.Dropout(0.0),
+            nn.Linear(4096, num_classes),
+        )
+
+    def forward(self, x):
+        x = self.features(x)
+        x = torch.flatten(x, 1)
+        return self.classifier(x)
+
+
+def test_vgg11_logits_match_torch(rng):
+    from cpu_vision_tpu.models.torch_weights import vgg_from_torch
+
+    torch.manual_seed(2)
+    tm = TorchVGG11(num_classes=6).eval()
+    variables = vgg_from_torch(tm.state_dict())
+    ours = models.get_model("vgg11", num_classes=6)
+    x = rng.random((1, 224, 224, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(out, ref, atol=3e-3, rtol=1e-3)
+
+
+def test_flatten_order_conversion_sharp(rng):
+    """A conv+linear net at a spatial size where activations VARY by
+    position — catches CHW/HWC flatten-order bugs the big nets mask."""
+    from cpu_vision_tpu.models.torch_weights import sequential_cnn_from_torch
+    from flax import linen as fnn
+
+    class TorchTiny(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(nn.Conv2d(3, 4, 3, padding=1), nn.ReLU())
+            self.classifier = nn.Sequential(nn.Linear(4 * 4 * 4, 5))
+
+        def forward(self, x):
+            return self.classifier(torch.flatten(self.features(x), 1))
+
+    class FlaxTiny(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            x = fnn.relu(fnn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)])(x))
+            x = x.reshape(x.shape[0], -1)
+            return fnn.Dense(5)(x)
+
+    torch.manual_seed(3)
+    tm = TorchTiny().eval()
+    variables = sequential_cnn_from_torch(tm.state_dict())
+    x = rng.random((2, 4, 4, 3), dtype=np.float32)  # tiny: positions matter
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(FlaxTiny().apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
