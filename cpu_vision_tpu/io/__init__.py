@@ -5,6 +5,7 @@ from .image import (  # noqa: F401
     decode_image,
     decode_jpeg,
     decode_png,
+    decode_webp,
     encode_jpeg,
     encode_png,
     read_file,

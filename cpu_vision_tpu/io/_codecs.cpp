@@ -18,6 +18,7 @@
 
 #include <jpeglib.h>
 #include <png.h>
+#include <webp/decode.h>
 
 extern "C" {
 
@@ -257,6 +258,32 @@ int cvt_encode_png(const uint8_t* img, int h, int w, int c, int compression,
   return CVT_OK;
 }
 
+// ---------------------------------------------------------------- webp
+
+// Decode WebP bytes to HWC uint8 (RGB, or RGBA when the file has alpha).
+int cvt_decode_webp(const uint8_t* data, size_t len, uint8_t** out, int* h,
+                    int* w, int* c) {
+  if (!data || !out || !h || !w || !c) return CVT_ERR_ARGS;
+  WebPBitstreamFeatures feat;
+  if (WebPGetFeatures(data, len, &feat) != VP8_STATUS_OK) return CVT_ERR_FORMAT;
+  const int C = feat.has_alpha ? 4 : 3;
+  const size_t stride = static_cast<size_t>(feat.width) * C;
+  uint8_t* buffer = static_cast<uint8_t*>(std::malloc(feat.height * stride));
+  if (!buffer) return CVT_ERR_ALLOC;
+  uint8_t* ok = feat.has_alpha
+                    ? WebPDecodeRGBAInto(data, len, buffer, feat.height * stride, stride)
+                    : WebPDecodeRGBInto(data, len, buffer, feat.height * stride, stride);
+  if (!ok) {
+    std::free(buffer);
+    return CVT_ERR_DECODE;
+  }
+  *out = buffer;
+  *h = feat.height;
+  *w = feat.width;
+  *c = C;
+  return CVT_OK;
+}
+
 // Decode any supported format by sniffing (reference decode_image.cpp:31-83).
 int cvt_decode_image(const uint8_t* data, size_t len, uint8_t** out, int* h,
                      int* w, int* c) {
@@ -265,6 +292,8 @@ int cvt_decode_image(const uint8_t* data, size_t len, uint8_t** out, int* h,
       return cvt_decode_jpeg(data, len, out, h, w, c);
     case 2:
       return cvt_decode_png(data, len, out, h, w, c);
+    case 3:
+      return cvt_decode_webp(data, len, out, h, w, c);
     default:
       return CVT_ERR_FORMAT;
   }

@@ -28,6 +28,7 @@ __all__ = [
     "decode_image",
     "decode_jpeg",
     "decode_png",
+    "decode_webp",
     "encode_jpeg",
     "encode_png",
     "read_image",
@@ -58,7 +59,7 @@ def _build_shim() -> bool:
     src = os.path.join(os.path.dirname(__file__), "_codecs.cpp")
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", _so_path(), src, "-ljpeg", "-lpng"],
+            ["g++", "-O2", "-shared", "-fPIC", "-o", _so_path(), src, "-ljpeg", "-lpng", "-lwebp"],
             check=True,
             capture_output=True,
             timeout=120,
@@ -82,7 +83,7 @@ def _load_lib():
     except OSError:
         return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    for name in ("cvt_decode_jpeg", "cvt_decode_png", "cvt_decode_image"):
+    for name in ("cvt_decode_jpeg", "cvt_decode_png", "cvt_decode_webp", "cvt_decode_image"):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
         fn.argtypes = [
@@ -206,6 +207,13 @@ def decode_jpeg(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> n
 
 def decode_png(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
     arr = _native_decode("cvt_decode_png", data)
+    if arr is None:
+        arr = _pil_decode(data)
+    return _apply_mode(arr, mode)
+
+
+def decode_webp(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
+    arr = _native_decode("cvt_decode_webp", data)
     if arr is None:
         arr = _pil_decode(data)
     return _apply_mode(arr, mode)

@@ -102,3 +102,32 @@ class TestModes:
         PILImage.fromarray(arr16, mode="I;16").save(buf, "PNG")
         out = decode_png(buf.getvalue())
         assert out.dtype == np.uint8 and out.shape == (8, 8, 1)
+
+
+@native
+class TestWebP:
+    def test_lossless_roundtrip_exact(self, rng):
+        from cpu_vision_tpu.io import decode_webp
+
+        img = _rgb(rng)
+        buf = _io.BytesIO()
+        PILImage.fromarray(img).save(buf, "WEBP", lossless=True)
+        out = decode_webp(buf.getvalue())
+        np.testing.assert_array_equal(out, img)
+
+    def test_sniffed_by_decode_image(self, rng):
+        img = _rgb(rng)
+        buf = _io.BytesIO()
+        PILImage.fromarray(img).save(buf, "WEBP", lossless=True)
+        out = decode_image(buf.getvalue())
+        np.testing.assert_array_equal(out, img)
+
+    def test_alpha(self, rng):
+        from cpu_vision_tpu.io import decode_webp
+
+        rgba = rng.integers(0, 256, (12, 12, 4), dtype=np.uint8)
+        buf = _io.BytesIO()
+        PILImage.fromarray(rgba, "RGBA").save(buf, "WEBP", lossless=True)
+        out = decode_webp(buf.getvalue())
+        assert out.shape == (12, 12, 4)
+        np.testing.assert_array_equal(out, rgba)
