@@ -125,10 +125,12 @@ class TestWebP:
     def test_alpha(self, rng):
         from cpu_vision_tpu.io import decode_webp
 
-        # fully-opaque alpha: libwebp may alter RGB under transparent pixels
-        # unless encoded with `exact`, so keep alpha at 255 for exactness
+        # near-opaque alpha: fully-opaque gets the channel dropped by the
+        # encoder, fully-transparent lets libwebp alter RGB — one 254 pixel
+        # keeps the channel while staying exact
         rgba = rng.integers(0, 256, (12, 12, 4), dtype=np.uint8)
         rgba[:, :, 3] = 255
+        rgba[0, 0, 3] = 254
         buf = _io.BytesIO()
         PILImage.fromarray(rgba, "RGBA").save(buf, "WEBP", lossless=True)
         out = decode_webp(buf.getvalue())
