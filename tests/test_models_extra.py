@@ -104,10 +104,37 @@ class TestMViT:
         out = jax.eval_shape(lambda v: m.apply(v, x, train=False), variables)
         assert out.shape == (1, 11)
 
-    def test_small_forward(self, rng):
-        from cpu_vision_tpu.models.mvit import MViT
+    def test_param_parity(self):
+        # torchvision documented counts: 36.61M (v1_b), 34.54M (v2_s)
+        expected = {"mvit_v1_b": 36_610_672, "mvit_v2_s": 34_537_744}
+        x = jnp.zeros((1, 16, 224, 224, 3), jnp.float32)
+        for name, want in expected.items():
+            m = models.get_model(name)
+            var = jax.eval_shape(lambda k, m=m: m.init(k, x), jax.random.PRNGKey(0))
+            n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(var))
+            assert n == want, f"{name}: {n} != {want}"
 
-        m = MViT(embed_dim=16, num_blocks=4, num_classes=3)
+    def _tiny(self, **flags):
+        from cpu_vision_tpu.models.mvit import MSBlockConfig, MViT
+
+        blocks = (
+            MSBlockConfig(1, 16, 16, (3, 3, 3), (3, 3, 3), (1, 1, 1), (1, 2, 2)),
+            MSBlockConfig(2, 16, 32, (3, 3, 3), (3, 3, 3), (1, 2, 2), (1, 2, 2)),
+        )
+        return MViT(block_setting=blocks, num_classes=3,
+                    spatial_size=(32, 32), temporal_size=4, **flags)
+
+    def test_small_forward_v1_style(self, rng):
+        m = self._tiny(residual_pool=False, residual_with_cls_embed=False,
+                       rel_pos_embed=False, proj_after_attn=False)
+        x = jnp.asarray(rng.random((1, 4, 32, 32, 3), dtype=np.float32))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out = m.apply(v, x, train=False)
+        assert out.shape == (1, 3) and bool(jnp.all(jnp.isfinite(out)))
+
+    def test_small_forward_v2_style(self, rng):
+        m = self._tiny(residual_pool=True, residual_with_cls_embed=False,
+                       rel_pos_embed=True, proj_after_attn=True)
         x = jnp.asarray(rng.random((1, 4, 32, 32, 3), dtype=np.float32))
         v = m.init(jax.random.PRNGKey(0), x, train=False)
         out = m.apply(v, x, train=False)
