@@ -173,7 +173,8 @@ class MaxVit(nn.Module):
         x = jnp.mean(x, axis=(1, 2))
         x = nn.LayerNorm(dtype=self.dtype)(x)
         x = jnp.tanh(nn.Dense(self.block_channels[-1], dtype=self.dtype)(x))
-        return nn.Dense(self.num_classes, dtype=self.dtype)(x)
+        # reference classifier head has no bias (maxvit.py classifier[5])
+        return nn.Dense(self.num_classes, use_bias=False, dtype=self.dtype)(x)
 
 
 @register_model("maxvit_t")

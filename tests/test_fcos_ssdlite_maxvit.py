@@ -74,9 +74,13 @@ class TestMaxViT:
         variables = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), x, train=False))
         out = jax.eval_shape(lambda v: m.apply(v, x, train=False), variables)
         assert out.shape == (1, 7)
+
+    def test_param_parity(self):
+        m = models.get_model("maxvit_t")  # 1000 classes
+        x = jnp.ones((1, 224, 224, 3), jnp.float32)
+        variables = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), x, train=False))
         n = int(sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"])))
-        # reference maxvit_t: 30.92M; ours is within 2% (block layout nuances)
-        assert abs(n - 30_919_624) / 30_919_624 < 0.02
+        assert n == 30_919_624  # exact reference maxvit_t count
 
     def test_small_forward(self, rng):
         m = models.MaxVit if hasattr(models, "MaxVit") else None
