@@ -16,6 +16,48 @@ from .simple import (  # noqa: F401
     GTSRB,
     OxfordIIITPet,
 )
+from .extra3 import (  # noqa: F401
+    PCAM,
+    SEMEION,
+    SUN397,
+    USPS,
+    CLEVRClassification,
+    FGVCAircraft,
+    Imagenette,
+    INaturalist,
+    Places365,
+    RenderedSST2,
+    StanfordCars,
+)
+from .extra4 import (  # noqa: F401
+    EMNIST,
+    LSUN,
+    QMNIST,
+    SBU,
+    Cityscapes,
+    Flickr8k,
+    Flickr30k,
+    Kitti,
+    LFWPairs,
+    LSUNClass,
+    PhotoTour,
+    SBDataset,
+    WIDERFace,
+)
+from .extra5 import HMDB51, UCF101, FrameVideoClips, Kinetics  # noqa: F401
+from .flow import HD1K, FlyingChairs, FlyingThings3D, KittiFlow, Sintel  # noqa: F401
+from .stereo import (  # noqa: F401
+    CarlaStereo,
+    CREStereo,
+    ETH3DStereo,
+    FallingThingsStereo,
+    InStereo2k,
+    Kitti2012Stereo,
+    Kitti2015Stereo,
+    Middlebury2014Stereo,
+    SceneFlowStereo,
+    SintelStereo,
+)
 from .video_utils import RandomClipSampler, UniformClipSampler, VideoClips  # noqa: F401
 from .voc import VOC_CLASSES, VOCDetection, VOCSegmentation  # noqa: F401
 from .fakedata import FakeData  # noqa: F401
@@ -29,3 +71,4 @@ from .utils import (  # noqa: F401
     extract_archive,
 )
 from .vision import StandardTransform, VisionDataset  # noqa: F401
+from ._wrapper import wrap_dataset_for_transforms_v2  # noqa: F401
