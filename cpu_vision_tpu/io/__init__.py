@@ -2,6 +2,7 @@
 
 from .image import (  # noqa: F401
     ImageReadMode,
+    decode_gif,
     decode_image,
     decode_jpeg,
     decode_png,

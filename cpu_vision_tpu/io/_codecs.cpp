@@ -284,6 +284,234 @@ int cvt_decode_webp(const uint8_t* data, size_t len, uint8_t** out, int* h,
   return CVT_OK;
 }
 
+// ---------------------------------------------------------------- gif
+
+// Self-contained GIF decoder (counterpart of the reference's vendored giflib
+// + csrc/io/image/cpu/decode_gif.cpp): LZW, interlacing, local/global color
+// tables, GIF89a transparency (composited onto the background color).
+// Decodes the FIRST frame onto the full logical canvas as HWC RGB.
+
+namespace {
+
+struct GifReader {
+  const uint8_t* p;
+  size_t n;
+  size_t pos = 0;
+  bool ok = true;
+
+  uint8_t u8() {
+    if (pos >= n) { ok = false; return 0; }
+    return p[pos++];
+  }
+  uint16_t u16() {  // little-endian
+    uint16_t lo = u8(), hi = u8();
+    return static_cast<uint16_t>(lo | (hi << 8));
+  }
+  bool skip(size_t k) {
+    if (pos + k > n) { ok = false; return false; }
+    pos += k;
+    return true;
+  }
+};
+
+// LZW decompression of the image sub-blocks into `indices` (one palette
+// index per pixel, row-major in stream order).
+bool gif_lzw(GifReader& r, int min_code_size, std::vector<uint8_t>& indices,
+             size_t max_pixels) {
+  if (min_code_size < 2 || min_code_size > 11) return false;
+  const int clear_code = 1 << min_code_size;
+  const int eoi_code = clear_code + 1;
+  // dictionary: prefix chain + suffix byte
+  static thread_local std::vector<uint16_t> prefix;
+  static thread_local std::vector<uint8_t> suffix;
+  prefix.assign(4096, 0);
+  suffix.assign(4096, 0);
+  int next_code = eoi_code + 1;
+  int code_size = min_code_size + 1;
+  int prev = -1;
+
+  uint32_t bits = 0;
+  int nbits = 0;
+  uint8_t block_remaining = 0;
+  std::vector<uint8_t> first_stack;
+  first_stack.reserve(4096);
+
+  for (;;) {
+    while (nbits < code_size) {
+      if (block_remaining == 0) {
+        block_remaining = r.u8();
+        if (!r.ok) return false;
+        if (block_remaining == 0) return true;  // block terminator = done
+      }
+      bits |= static_cast<uint32_t>(r.u8()) << nbits;
+      if (!r.ok) return false;
+      nbits += 8;
+      --block_remaining;
+    }
+    int code = bits & ((1 << code_size) - 1);
+    bits >>= code_size;
+    nbits -= code_size;
+
+    if (code == clear_code) {
+      next_code = eoi_code + 1;
+      code_size = min_code_size + 1;
+      prev = -1;
+      continue;
+    }
+    if (code == eoi_code) {
+      // consume remaining sub-blocks up to the terminator
+      while (block_remaining > 0) { r.u8(); --block_remaining; }
+      for (;;) {
+        uint8_t s = r.u8();
+        if (!r.ok || s == 0) break;
+        if (!r.skip(s)) return false;
+      }
+      return true;
+    }
+    if (code >= next_code && !(code == next_code && prev >= 0)) return false;
+
+    // expand `code` (or prev+first(prev) for the not-yet-defined case)
+    first_stack.clear();
+    int cur = (code == next_code) ? prev : code;
+    while (cur >= clear_code + 2) {
+      first_stack.push_back(suffix[cur]);
+      cur = prefix[cur];
+    }
+    uint8_t first = static_cast<uint8_t>(cur);
+    indices.push_back(first);
+    for (auto it = first_stack.rbegin(); it != first_stack.rend(); ++it)
+      indices.push_back(*it);
+    if (code == next_code) indices.push_back(first);
+    if (indices.size() > max_pixels) return false;
+
+    if (prev >= 0 && next_code < 4096) {
+      prefix[next_code] = static_cast<uint16_t>(prev);
+      suffix[next_code] = first;
+      ++next_code;
+      if (next_code == (1 << code_size) && code_size < 12) ++code_size;
+    }
+    prev = code;
+  }
+}
+
+}  // namespace
+
+int cvt_decode_gif(const uint8_t* data, size_t len, uint8_t** out, int* h,
+                   int* w, int* c) {
+  if (!data || !out || !h || !w || !c) return CVT_ERR_ARGS;
+  if (cvt_sniff(data, len) != 4) return CVT_ERR_FORMAT;
+  GifReader r{data, len};
+  r.skip(6);  // header
+  const int W = r.u16(), H = r.u16();
+  const uint8_t packed = r.u8();
+  const uint8_t bg_index = r.u8();
+  r.u8();  // aspect
+  if (!r.ok || W <= 0 || H <= 0) return CVT_ERR_DECODE;
+  if (static_cast<size_t>(W) * H > (1u << 30)) return CVT_ERR_DECODE;
+
+  uint8_t gct[256][3] = {};
+  int gct_size = 0;
+  if (packed & 0x80) {
+    gct_size = 2 << (packed & 0x07);
+    for (int i = 0; i < gct_size; ++i)
+      for (int k = 0; k < 3; ++k) gct[i][k] = r.u8();
+  }
+
+  int transparent = -1;
+  for (;;) {
+    if (!r.ok) return CVT_ERR_DECODE;
+    uint8_t tag = r.u8();
+    if (tag == 0x3B) return CVT_ERR_DECODE;  // trailer before any image
+    if (tag == 0x21) {                       // extension
+      uint8_t label = r.u8();
+      if (label == 0xF9) {  // graphic control
+        uint8_t sz = r.u8();
+        uint8_t flags = r.u8();
+        r.u16();  // delay
+        uint8_t tindex = r.u8();
+        if (flags & 0x01) transparent = tindex;
+        if (sz > 4) r.skip(sz - 4);
+        if (r.u8() != 0) return CVT_ERR_DECODE;  // terminator
+      } else {
+        for (;;) {
+          uint8_t s = r.u8();
+          if (!r.ok) return CVT_ERR_DECODE;
+          if (s == 0) break;
+          if (!r.skip(s)) return CVT_ERR_DECODE;
+        }
+      }
+      continue;
+    }
+    if (tag != 0x2C) return CVT_ERR_DECODE;
+    break;  // image descriptor
+  }
+
+  const int left = r.u16(), top = r.u16();
+  const int fw = r.u16(), fh = r.u16();
+  const uint8_t ipacked = r.u8();
+  if (!r.ok || fw <= 0 || fh <= 0 || left + fw > W || top + fh > H)
+    return CVT_ERR_DECODE;
+
+  uint8_t lct[256][3];
+  const uint8_t (*palette)[3] = gct;
+  int pal_size = gct_size;
+  if (ipacked & 0x80) {
+    pal_size = 2 << (ipacked & 0x07);
+    for (int i = 0; i < pal_size; ++i)
+      for (int k = 0; k < 3; ++k) lct[i][k] = r.u8();
+    palette = lct;
+  }
+  if (pal_size == 0) return CVT_ERR_DECODE;
+
+  const int min_code_size = r.u8();
+  std::vector<uint8_t> indices;
+  indices.reserve(static_cast<size_t>(fw) * fh);
+  if (!gif_lzw(r, min_code_size, indices, static_cast<size_t>(fw) * fh + 4096))
+    return CVT_ERR_DECODE;
+  if (indices.size() < static_cast<size_t>(fw) * fh) return CVT_ERR_DECODE;
+
+  uint8_t* img = static_cast<uint8_t*>(std::malloc(static_cast<size_t>(W) * H * 3));
+  if (!img) return CVT_ERR_ALLOC;
+  // canvas background
+  uint8_t bg[3] = {0, 0, 0};
+  if (gct_size > 0 && bg_index < gct_size) {
+    bg[0] = gct[bg_index][0]; bg[1] = gct[bg_index][1]; bg[2] = gct[bg_index][2];
+  }
+  for (size_t i = 0; i < static_cast<size_t>(W) * H; ++i) {
+    img[3 * i] = bg[0]; img[3 * i + 1] = bg[1]; img[3 * i + 2] = bg[2];
+  }
+
+  // frame rows, honoring interlacing (4 passes: start 0/4/2/1, step 8/8/4/2)
+  const int starts[4] = {0, 4, 2, 1};
+  const int steps[4] = {8, 8, 4, 2};
+  size_t src_row = 0;
+  auto blit_row = [&](int fy) {
+    const uint8_t* src = indices.data() + src_row * fw;
+    uint8_t* dst = img + (static_cast<size_t>(top + fy) * W + left) * 3;
+    for (int x = 0; x < fw; ++x) {
+      int idx = src[x];
+      if (idx == transparent) { dst += 3; continue; }
+      if (idx >= pal_size) idx = 0;
+      *dst++ = palette[idx][0];
+      *dst++ = palette[idx][1];
+      *dst++ = palette[idx][2];
+    }
+    ++src_row;
+  };
+  if (ipacked & 0x40) {
+    for (int pass = 0; pass < 4; ++pass)
+      for (int fy = starts[pass]; fy < fh; fy += steps[pass]) blit_row(fy);
+  } else {
+    for (int fy = 0; fy < fh; ++fy) blit_row(fy);
+  }
+
+  *out = img;
+  *h = H;
+  *w = W;
+  *c = 3;
+  return CVT_OK;
+}
+
 // Decode any supported format by sniffing (reference decode_image.cpp:31-83).
 int cvt_decode_image(const uint8_t* data, size_t len, uint8_t** out, int* h,
                      int* w, int* c) {
@@ -294,6 +522,8 @@ int cvt_decode_image(const uint8_t* data, size_t len, uint8_t** out, int* h,
       return cvt_decode_png(data, len, out, h, w, c);
     case 3:
       return cvt_decode_webp(data, len, out, h, w, c);
+    case 4:
+      return cvt_decode_gif(data, len, out, h, w, c);
     default:
       return CVT_ERR_FORMAT;
   }

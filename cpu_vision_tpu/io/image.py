@@ -83,7 +83,8 @@ def _load_lib():
     except OSError:
         return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    for name in ("cvt_decode_jpeg", "cvt_decode_png", "cvt_decode_webp", "cvt_decode_image"):
+    for name in ("cvt_decode_jpeg", "cvt_decode_png", "cvt_decode_webp",
+                 "cvt_decode_gif", "cvt_decode_image"):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
         fn.argtypes = [
@@ -214,6 +215,17 @@ def decode_png(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np
 
 def decode_webp(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
     arr = _native_decode("cvt_decode_webp", data)
+    if arr is None:
+        arr = _pil_decode(data)
+    return _apply_mode(arr, mode)
+
+
+def decode_gif(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
+    """GIF bytes -> HWC uint8 RGB, first frame composited onto the logical
+    canvas (reference ``decode_gif`` over vendored giflib,
+    ``csrc/io/image/cpu/decode_gif.cpp``; here a self-contained LZW decoder
+    in ``_codecs.cpp``)."""
+    arr = _native_decode("cvt_decode_gif", data)
     if arr is None:
         arr = _pil_decode(data)
     return _apply_mode(arr, mode)

@@ -28,6 +28,7 @@ from . import regnet as _regnet  # noqa: F401
 from . import small_nets as _small_nets  # noqa: F401
 from . import swin as _swin  # noqa: F401
 from . import video as _video  # noqa: F401
+from . import video_swin as _video_swin  # noqa: F401
 from . import convnext as _convnext  # noqa: F401
 from . import densenet as _densenet  # noqa: F401
 from . import efficientnet as _efficientnet  # noqa: F401
@@ -89,3 +90,4 @@ from .vision_transformer import (  # noqa: F401
     vit_l_16,
     vit_l_32,
 )
+from . import weights_meta as _weights_meta  # noqa: F401  (attaches variant enums)

@@ -26,6 +26,8 @@ __all__ = [
     "quantize_params",
     "restore_params",
     "param_bytes",
+    "fake_quantize",
+    "fake_quantize_params",
 ]
 
 
@@ -97,3 +99,55 @@ def restore_params(qparams):
 
 def param_bytes(tree) -> int:
     return int(sum(leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(tree)))
+
+
+# ---- quantization-aware training -------------------------------------------
+#
+# The reference's QAT path (``models/quantization/*`` over torch.ao fake-
+# quant observers + fuse/prepare/convert graph surgery) collapses on TPU to a
+# straight-through-estimator fake-quant applied to the weight pytree inside
+# the jitted loss: forward sees round(w/s)*s exactly as int8 deployment will,
+# backward passes gradients through unchanged. No graph rewriting.
+
+
+@jax.custom_vjp
+def fake_quantize(w: jax.Array, scale: jax.Array) -> jax.Array:
+    """STE fake-quant: value = clip(round(w/scale)) * scale, gradient = 1.
+
+    ``scale`` is broadcastable against ``w`` (per-channel).  Counterpart of
+    torch.ao's ``FakeQuantize`` module used by the reference's QAT variants
+    (e.g. ``models/quantization/mobilenetv2.py``).
+    """
+    return jnp.clip(jnp.round(w / scale), -127, 127) * scale
+
+
+def _fq_fwd(w, scale):
+    return fake_quantize(w, scale), None
+
+
+def _fq_bwd(_, g):
+    return g, None
+
+
+fake_quantize.defvjp(_fq_fwd, _fq_bwd)
+
+
+def fake_quantize_params(params, min_size: int = 4096):
+    """Fake-quantise every float kernel with >= ``min_size`` elements.
+
+    Differentiable w.r.t. ``params`` (straight-through): use inside the loss
+    as ``model.apply({'params': fake_quantize_params(p)}, x)`` so training
+    optimises the deployed int8 behaviour; finish with
+    :func:`quantize_params` on the trained weights.
+    """
+
+    def fq(leaf):
+        if leaf.ndim >= 2 and leaf.size >= min_size and jnp.issubdtype(leaf.dtype, jnp.floating):
+            axis = leaf.ndim - 1
+            amax = jnp.max(jnp.abs(jax.lax.stop_gradient(leaf)),
+                           axis=tuple(range(axis)), keepdims=True)
+            scale = jnp.maximum(amax, 1e-8) / 127.0
+            return fake_quantize(leaf, scale)
+        return leaf
+
+    return jax.tree.map(fq, params)

@@ -18,7 +18,9 @@ from .layers import ConvNormActivation, SqueezeExcitation
 __all__ = [
     "RegNet",
     "regnet_x_400mf", "regnet_x_800mf", "regnet_x_1_6gf", "regnet_x_3_2gf",
+    "regnet_x_8gf", "regnet_x_16gf", "regnet_x_32gf",
     "regnet_y_400mf", "regnet_y_800mf", "regnet_y_1_6gf", "regnet_y_3_2gf",
+    "regnet_y_8gf", "regnet_y_16gf", "regnet_y_32gf", "regnet_y_128gf",
 ]
 
 
@@ -33,9 +35,17 @@ def _block_params(depth, w_0, w_a, w_m, group_width):
     order = np.argsort(stage_widths)
     stage_widths = stage_widths[order].tolist()
     stage_depths = stage_depths[order].tolist()
-    # adjust widths for group compatibility (reference _adjust_widths_groups_compatibilty)
+    # adjust widths for group compatibility (reference
+    # ``_adjust_widths_groups_compatibilty`` + ``_make_divisible``:
+    # round to the nearest multiple, bumping up if that loses >10%)
+    def make_divisible(v, divisor):
+        new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+        if new_v < 0.9 * v:
+            new_v += divisor
+        return new_v
+
     gws = [min(group_width, w) for w in stage_widths]
-    stage_widths = [int(round(w / g) * g) for w, g in zip(stage_widths, gws)]
+    stage_widths = [make_divisible(w, g) for w, g in zip(stage_widths, gws)]
     return list(zip(stage_widths, stage_depths, gws))
 
 
@@ -76,16 +86,24 @@ class RegNet(nn.Module):
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 
 
-# (depth, w_0, w_a, w_m, group_width) from the reference builders
+# (depth, w_0, w_a, w_m, group_width, se_ratio) from the reference builders
+# (``regnet.py:1174-1570``)
 _CFG = {
     "regnet_x_400mf": (22, 24, 24.48, 2.54, 16, 0.0),
     "regnet_x_800mf": (16, 56, 35.73, 2.28, 16, 0.0),
     "regnet_x_1_6gf": (18, 80, 34.01, 2.25, 24, 0.0),
     "regnet_x_3_2gf": (25, 88, 26.31, 2.25, 48, 0.0),
+    "regnet_x_8gf": (23, 80, 49.56, 2.88, 120, 0.0),
+    "regnet_x_16gf": (22, 216, 55.59, 2.1, 128, 0.0),
+    "regnet_x_32gf": (23, 320, 69.86, 2.0, 168, 0.0),
     "regnet_y_400mf": (16, 48, 27.89, 2.09, 8, 0.25),
     "regnet_y_800mf": (14, 56, 38.84, 2.4, 16, 0.25),
     "regnet_y_1_6gf": (27, 48, 20.71, 2.65, 24, 0.25),
     "regnet_y_3_2gf": (21, 80, 42.63, 2.66, 24, 0.25),
+    "regnet_y_8gf": (17, 192, 76.82, 2.19, 56, 0.25),
+    "regnet_y_16gf": (18, 200, 106.23, 2.48, 112, 0.25),
+    "regnet_y_32gf": (20, 232, 115.89, 2.53, 232, 0.25),
+    "regnet_y_128gf": (27, 456, 160.83, 2.52, 264, 0.25),
 }
 
 
@@ -103,7 +121,14 @@ regnet_x_400mf = _make("regnet_x_400mf")
 regnet_x_800mf = _make("regnet_x_800mf")
 regnet_x_1_6gf = _make("regnet_x_1_6gf")
 regnet_x_3_2gf = _make("regnet_x_3_2gf")
+regnet_x_8gf = _make("regnet_x_8gf")
+regnet_x_16gf = _make("regnet_x_16gf")
+regnet_x_32gf = _make("regnet_x_32gf")
 regnet_y_400mf = _make("regnet_y_400mf")
 regnet_y_800mf = _make("regnet_y_800mf")
 regnet_y_1_6gf = _make("regnet_y_1_6gf")
 regnet_y_3_2gf = _make("regnet_y_3_2gf")
+regnet_y_8gf = _make("regnet_y_8gf")
+regnet_y_16gf = _make("regnet_y_16gf")
+regnet_y_32gf = _make("regnet_y_32gf")
+regnet_y_128gf = _make("regnet_y_128gf")

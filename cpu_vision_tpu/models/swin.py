@@ -50,6 +50,26 @@ def _log_cpb_coords(ws: int) -> np.ndarray:
     return np.sign(coords) * np.log2(np.abs(coords) + 1.0) / 3.0
 
 
+class _QKV(nn.Module):
+    """qkv projection; for V2 the key bias is zeroed at use (reference
+    ``shifted_window_attention`` logit_scale branch,
+    ``swin_transformer.py:175-178``)."""
+
+    features: int
+    zero_k_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.zero_k_bias:
+            third = self.features // 3
+            bias = bias.at[third : 2 * third].set(0.0)
+        return x @ kernel.astype(self.dtype) + bias.astype(self.dtype)
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
@@ -61,7 +81,7 @@ class WindowAttention(nn.Module):
     def __call__(self, x, mask=None):
         b, n, c = x.shape  # (windows, ws*ws, C)
         ws = self.window_size
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        qkv = _QKV(3 * self.dim, zero_k_bias=self.v2, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, c // self.num_heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         idx = jnp.asarray(_relative_position_index(ws)).reshape(-1)
@@ -111,26 +131,31 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         n, h, w, c = x.shape
-        ws = min(self.window_size, h, w)
-        # no cyclic shift when the window covers the whole feature map
-        # (reference shifted_window_attention: shift_size zeroed per-dim)
-        shift = self.shift if ws < min(h, w) else 0
+        ws = self.window_size
         res = x
         # V2 uses post-norm (norm applied to the branch output)
         y = x if self.v2 else nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
-        # pad to window multiples (the reference pads inside
-        # shifted_window_attention and crops after)
+        # the reference never shrinks the window: it pads the feature map up
+        # to window multiples and zeroes the shift per-dim when the window
+        # covers the padded dim (``shifted_window_attention``,
+        # ``swin_transformer.py:151-163``)
         ph = (h + ws - 1) // ws * ws
         pw = (w + ws - 1) // ws * ws
         if (ph, pw) != (h, w):
             y = jnp.pad(y, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
-        if shift > 0:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        shift_h = self.shift if ws < ph else 0
+        shift_w = self.shift if ws < pw else 0
+        if shift_h + shift_w > 0:
+            y = jnp.roll(y, (-shift_h, -shift_w), axis=(1, 2))
             # attention mask for wrapped windows
             img_mask = np.zeros((1, ph, pw, 1), np.float32)
             cnt = 0
-            for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
-                for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            h_slices = ((slice(0, -ws), slice(-ws, -shift_h), slice(-shift_h, None))
+                        if shift_h else (slice(0, None),))
+            w_slices = ((slice(0, -ws), slice(-ws, -shift_w), slice(-shift_w, None))
+                        if shift_w else (slice(0, None),))
+            for hs in h_slices:
+                for wsl in w_slices:
                     img_mask[:, hs, wsl, :] = cnt
                     cnt += 1
             mw = _window_partition(jnp.asarray(img_mask), ws)[..., 0]  # (nW, ws*ws)
@@ -140,8 +165,8 @@ class SwinBlock(nn.Module):
         windows = _window_partition(y, ws)
         attn = WindowAttention(self.dim, self.num_heads, ws, v2=self.v2, dtype=self.dtype)(windows, mask)
         y = _window_reverse(attn, ws, n, ph, pw)
-        if shift > 0:
-            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        if shift_h + shift_w > 0:
+            y = jnp.roll(y, (shift_h, shift_w), axis=(1, 2))
         if (ph, pw) != (h, w):
             y = y[:, :h, :w, :]
         if self.v2:
@@ -157,9 +182,11 @@ class SwinBlock(nn.Module):
 
 
 class PatchMerging(nn.Module):
-    """(reference ``swin_transformer.py:PatchMerging``)."""
+    """(reference ``swin_transformer.py:PatchMerging`` / ``PatchMergingV2``).
+    V1 norms the 4C concat before reduction; V2 norms the 2C output after."""
 
     dim_out: int
+    v2: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -169,8 +196,14 @@ class PatchMerging(nn.Module):
         if h % 2 or w % 2:
             x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
             n, h, w, c = x.shape
-        x = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        # channel order matches the reference concat x0..x3 =
+        # [(h even, w even), (h odd, w even), (h even, w odd), (h odd, w odd)]
+        # (``_patch_merging_pad``, ``swin_transformer.py:30-37``)
+        x = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 4, 2, 5)
         x = x.reshape(n, h // 2, w // 2, 4 * c)
+        if self.v2:
+            x = nn.Dense(self.dim_out, use_bias=False, dtype=self.dtype)(x)
+            return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return nn.Dense(self.dim_out, use_bias=False, dtype=self.dtype)(x)
 
@@ -197,7 +230,7 @@ class SwinTransformer(nn.Module):
         for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             if stage > 0:
                 dim *= 2
-                x = PatchMerging(dim, self.dtype)(x)
+                x = PatchMerging(dim, v2=self.v2, dtype=self.dtype)(x)
             for blk in range(depth):
                 sd = self.sd_prob * bid / max(total - 1, 1)
                 x = SwinBlock(

@@ -29,6 +29,9 @@ __all__ = [
     "sequential_cnn_from_torch",
     "alexnet_from_torch",
     "vgg_from_torch",
+    "swin3d_from_torch",
+    "vit_from_torch",
+    "swin_from_torch",
     "convert_conv",
     "convert_linear",
 ]
@@ -156,3 +159,162 @@ def sequential_cnn_from_torch(state_dict: Mapping) -> Dict:
 
 alexnet_from_torch = sequential_cnn_from_torch
 vgg_from_torch = sequential_cnn_from_torch
+
+
+def _ln(sd: Mapping, prefix: str) -> Dict:
+    return {
+        "scale": jnp.asarray(_np(sd[f"{prefix}.weight"])),
+        "bias": jnp.asarray(_np(sd[f"{prefix}.bias"])),
+    }
+
+
+def _dense(sd: Mapping, prefix: str, bias: bool = True) -> Dict:
+    out = {"kernel": convert_linear(sd[f"{prefix}.weight"])}
+    if bias:
+        out["bias"] = jnp.asarray(_np(sd[f"{prefix}.bias"]))
+    return out
+
+
+def vit_from_torch(state_dict: Mapping, num_layers: int, num_heads: int) -> Dict:
+    """Convert a torchvision VisionTransformer ``state_dict`` into the flax
+    variables of :class:`~cpu_vision_tpu.models.vision_transformer.
+    VisionTransformer`.
+
+    Reference layout (``models/vision_transformer.py:86-243``):
+    ``conv_proj``, ``class_token``, ``encoder.pos_embedding``,
+    ``encoder.layers.encoder_layer_{i}.{ln_1,self_attention,ln_2,mlp.{0,3}}``,
+    ``encoder.ln``, ``heads.head``. torch's packed ``in_proj_weight``
+    (3D, D) splits into flax q/k/v kernels (D, H, head_dim).
+    """
+    sd = state_dict
+    d = _np(sd["class_token"]).shape[-1]
+    hd = d // num_heads
+    params: Dict[str, Any] = {
+        "Conv_0": {"kernel": convert_conv(sd["conv_proj.weight"]),
+                   "bias": jnp.asarray(_np(sd["conv_proj.bias"]))},
+        "class_token": jnp.asarray(_np(sd["class_token"])),
+        "pos_embedding": jnp.asarray(_np(sd["encoder.pos_embedding"])),
+        "LayerNorm_0": _ln(sd, "encoder.ln"),
+        "Dense_0": _dense(sd, "heads.head"),
+    }
+    for i in range(num_layers):
+        t = f"encoder.layers.encoder_layer_{i}"
+        in_w = _np(sd[f"{t}.self_attention.in_proj_weight"])  # (3D, D)
+        in_b = _np(sd[f"{t}.self_attention.in_proj_bias"])
+        out_w = _np(sd[f"{t}.self_attention.out_proj.weight"])  # (D, D)
+        qw, kw, vw = in_w[:d], in_w[d:2 * d], in_w[2 * d:]
+        qb, kb, vb = in_b[:d], in_b[d:2 * d], in_b[2 * d:]
+
+        def qkv(w, b):
+            return {"kernel": jnp.asarray(w.T.reshape(d, num_heads, hd)),
+                    "bias": jnp.asarray(b.reshape(num_heads, hd))}
+
+        params[f"encoder_{i}"] = {
+            "LayerNorm_0": _ln(sd, f"{t}.ln_1"),
+            "MultiHeadDotProductAttention_0": {
+                "query": qkv(qw, qb), "key": qkv(kw, kb), "value": qkv(vw, vb),
+                "out": {"kernel": jnp.asarray(out_w.T.reshape(num_heads, hd, d)),
+                        "bias": jnp.asarray(_np(sd[f"{t}.self_attention.out_proj.bias"]))},
+            },
+            "LayerNorm_1": _ln(sd, f"{t}.ln_2"),
+            "Dense_0": _dense(sd, f"{t}.mlp.0"),
+            "Dense_1": _dense(sd, f"{t}.mlp.3"),
+        }
+    return {"params": params}
+
+
+def swin_from_torch(state_dict: Mapping, depths: Tuple[int, ...] = (2, 2, 6, 2)) -> Dict:
+    """Convert a torchvision (image) Swin V1/V2 ``state_dict`` into the flax
+    variables of :class:`~cpu_vision_tpu.models.swin.SwinTransformer`.
+
+    Reference layout (``models/swin_transformer.py:SwinTransformer``):
+    ``features.0.{0,2}`` patch embed conv + norm; blocks at
+    ``features.{2i+1}.{j}``; PatchMerging at ``features.{2i}``, i>=1
+    (``reduction``/``norm``); final ``norm`` + ``head``. V2 blocks carry
+    ``attn.logit_scale`` + ``attn.cpb_mlp.{0,2}`` instead of the bias table
+    (detected per-block from the keys present).
+    """
+    sd = state_dict
+    params: Dict[str, Any] = {
+        "Conv_0": {"kernel": convert_conv(sd["features.0.0.weight"]),
+                   "bias": jnp.asarray(_np(sd["features.0.0.bias"]))},
+        "LayerNorm_0": _ln(sd, "features.0.2"),
+        "LayerNorm_1": _ln(sd, "norm"),
+        "Dense_0": _dense(sd, "head"),
+    }
+    bid = 0
+    for stage, depth in enumerate(depths):
+        if stage > 0:
+            t = f"features.{2 * stage}"
+            params[f"PatchMerging_{stage - 1}"] = {
+                "LayerNorm_0": _ln(sd, f"{t}.norm"),
+                "Dense_0": {"kernel": convert_linear(sd[f"{t}.reduction.weight"])},
+            }
+        for blk in range(depth):
+            t = f"features.{2 * stage + 1}.{blk}"
+            attn = {
+                "qkv": _dense(sd, f"{t}.attn.qkv"),
+                "proj": _dense(sd, f"{t}.attn.proj"),
+            }
+            if f"{t}.attn.logit_scale" in sd:  # V2
+                attn["logit_scale"] = jnp.asarray(_np(sd[f"{t}.attn.logit_scale"]))
+                attn["cpb_fc1"] = _dense(sd, f"{t}.attn.cpb_mlp.0")
+                attn["cpb_fc2"] = _dense(sd, f"{t}.attn.cpb_mlp.2", bias=False)
+            else:
+                attn["relative_position_bias_table"] = jnp.asarray(
+                    _np(sd[f"{t}.attn.relative_position_bias_table"]))
+            params[f"SwinBlock_{bid}"] = {
+                "LayerNorm_0": _ln(sd, f"{t}.norm1"),
+                "WindowAttention_0": attn,
+                "LayerNorm_1": _ln(sd, f"{t}.norm2"),
+                "Dense_0": _dense(sd, f"{t}.mlp.0"),
+                "Dense_1": _dense(sd, f"{t}.mlp.3"),
+            }
+            bid += 1
+    return {"params": params}
+
+
+def swin3d_from_torch(state_dict: Mapping, depths: Tuple[int, ...] = (2, 2, 6, 2)) -> Dict:
+    """Convert a torchvision Video-Swin (``swin3d_*``) ``state_dict`` into
+    the flax variables of :class:`cpu_vision_tpu.models.video_swin.
+    SwinTransformer3d`.
+
+    Reference layout (``video/swin_transformer.py:366-474``):
+    ``patch_embed.proj`` Conv3d (O, I, D, kH, kW) -> DHWIO;
+    ``features.{2i}.{j}`` blocks (norm1/attn.{qkv,proj,relative_position_
+    bias_table}/norm2/mlp.{0,3}); ``features.{2i+1}`` PatchMerging
+    (reduction/norm); final ``norm`` + ``head``.
+    """
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    params["patch_embed"] = {
+        "kernel": jnp.asarray(_np(sd["patch_embed.proj.weight"]).transpose(2, 3, 4, 1, 0)),
+        "bias": jnp.asarray(_np(sd["patch_embed.proj.bias"])),
+    }
+    params["LayerNorm_0"] = _ln(sd, "patch_embed.norm")
+    bid = 0
+    for stage, depth in enumerate(depths):
+        for blk in range(depth):
+            t = f"features.{2 * stage}.{blk}"
+            params[f"SwinBlock3d_{bid}"] = {
+                "LayerNorm_0": _ln(sd, f"{t}.norm1"),
+                "WindowAttention3d_0": {
+                    "qkv": _dense(sd, f"{t}.attn.qkv"),
+                    "proj": _dense(sd, f"{t}.attn.proj"),
+                    "relative_position_bias_table": jnp.asarray(
+                        _np(sd[f"{t}.attn.relative_position_bias_table"])),
+                },
+                "LayerNorm_1": _ln(sd, f"{t}.norm2"),
+                "Dense_0": _dense(sd, f"{t}.mlp.0"),
+                "Dense_1": _dense(sd, f"{t}.mlp.3"),
+            }
+            bid += 1
+        if stage < len(depths) - 1:
+            t = f"features.{2 * stage + 1}"
+            params[f"PatchMerging3d_{stage}"] = {
+                "LayerNorm_0": _ln(sd, f"{t}.norm"),
+                "Dense_0": {"kernel": convert_linear(sd[f"{t}.reduction.weight"])},
+            }
+    params["LayerNorm_1"] = _ln(sd, "norm")
+    params["head"] = _dense(sd, "head")
+    return {"params": params}

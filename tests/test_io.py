@@ -136,3 +136,43 @@ class TestWebP:
         out = decode_webp(buf.getvalue())
         assert out.shape == (12, 12, 4)
         np.testing.assert_array_equal(out, rgba)
+
+
+class TestGIF:
+    """Native GIF decode (self-contained LZW in _codecs.cpp; reference
+    decodes via vendored giflib, csrc/io/image/cpu/decode_gif.cpp)."""
+
+    def test_palette_roundtrip_exact(self, rng):
+        from cpu_vision_tpu.io import decode_gif
+
+        img = rng.integers(0, 256, (37, 23, 3), dtype=np.uint8)
+        pil = PILImage.fromarray(img).quantize(colors=64)
+        buf = _io.BytesIO()
+        pil.save(buf, "GIF")
+        out = decode_gif(buf.getvalue())
+        np.testing.assert_array_equal(out, np.asarray(pil.convert("RGB")))
+
+    def test_sniffed_through_decode_image(self, rng):
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        pil = PILImage.fromarray(img).quantize(colors=16)
+        buf = _io.BytesIO()
+        pil.save(buf, "GIF")
+        out = decode_image(buf.getvalue())
+        np.testing.assert_array_equal(out, np.asarray(pil.convert("RGB")))
+
+    def test_animated_first_frame(self, rng):
+        from cpu_vision_tpu.io import decode_gif
+
+        img = rng.integers(0, 256, (20, 14, 3), dtype=np.uint8)
+        f0 = PILImage.fromarray(img).quantize(colors=32)
+        f1 = PILImage.fromarray(255 - img).quantize(colors=32)
+        buf = _io.BytesIO()
+        f0.save(buf, "GIF", save_all=True, append_images=[f1])
+        out = decode_gif(buf.getvalue())
+        np.testing.assert_array_equal(out, np.asarray(f0.convert("RGB")))
+
+    def test_damaged_raises(self):
+        from cpu_vision_tpu.io import decode_gif
+
+        with pytest.raises(ValueError):
+            decode_gif(b"GIF89a" + b"\x00" * 8)

@@ -13,6 +13,19 @@ REF_NUM_PARAMS = {
     "mnasnet1_0": 4_383_312,
     "shufflenet_v2_x1_0": 2_278_604,
     "swin_t": 28_288_354,
+    "swin_s": 49_606_258,
+    "swin_b": 87_768_224,
+    "swin_v2_t": 28_351_570,
+    "swin_v2_s": 49_737_442,
+    "swin_v2_b": 87_930_848,
+    "vit_b_16": 86_567_656,
+    "regnet_y_8gf": 39_381_472,
+    "regnet_y_16gf": 83_590_140,
+    "regnet_y_32gf": 145_046_770,
+    "regnet_y_128gf": 644_812_894,
+    "regnet_x_8gf": 39_572_648,
+    "regnet_x_16gf": 54_278_536,
+    "regnet_x_32gf": 107_811_560,
 }
 
 EVAL_SHAPE_ONLY = [
