@@ -21,22 +21,29 @@ from .._api import register_model
 from .faster_rcnn import FasterRCNN
 from .roi_heads import _log2i
 
-__all__ = ["MaskRCNN", "MaskRCNNHeads", "maskrcnn_resnet50_fpn"]
+__all__ = ["MaskRCNN", "MaskRCNNHeads", "maskrcnn_resnet50_fpn",
+           "maskrcnn_resnet50_fpn_v2"]
 
 
 class MaskRCNNHeads(nn.Module):
     """4x 3x3 conv + 2x deconv + 1x1 per-class logits (reference
-    ``MaskRCNNHeads``/``MaskRCNNPredictor``, ``mask_rcnn.py:270-310``)."""
+    ``MaskRCNNHeads``/``MaskRCNNPredictor``, ``mask_rcnn.py:270-310``).
+    ``norm='batch'`` is the v2-recipe head (``maskrcnn_resnet50_fpn_v2``)."""
 
     num_classes: int
     channels: int = 256
+    norm: str | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         for i in range(4):
-            x = nn.relu(nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                                dtype=self.dtype, name=f"mask_fcn{i + 1}")(x))
+            x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=self.norm is None, dtype=self.dtype,
+                        name=f"mask_fcn{i + 1}")(x)
+            if self.norm == "batch":
+                x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.relu(x)
         x = nn.relu(nn.ConvTranspose(self.channels, (2, 2), (2, 2),
                                      dtype=self.dtype, name="mask_deconv")(x))
         return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="mask_logits")(x)
@@ -49,10 +56,12 @@ class MaskRCNN(FasterRCNN):
 
     def setup(self):
         super().setup()
-        self.mask_head = MaskRCNNHeads(self.num_classes, dtype=self.dtype)
+        self.mask_head = MaskRCNNHeads(
+            self.num_classes, norm="batch" if self.variant == "v2" else None,
+            dtype=self.dtype)
 
     def predict_masks(self, features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
-                      image_size: Tuple[int, int]) -> jnp.ndarray:
+                      image_size: Tuple[int, int], train: bool = False) -> jnp.ndarray:
         """Mask logits (N, D, 2*pooled, 2*pooled, C) for given boxes (N, D, 4)."""
         n, d, _ = boxes.shape
         batch_idx = jnp.repeat(jnp.arange(n, dtype=boxes.dtype), d)
@@ -61,7 +70,7 @@ class MaskRCNN(FasterRCNN):
         pooled = multiscale_roi_align(
             features, rois, (self.mask_pooled_size, self.mask_pooled_size), scales=scales
         )
-        logits = self.mask_head(pooled)
+        logits = self.mask_head(pooled, train=train)
         s = 2 * self.mask_pooled_size
         return logits.reshape(n, d, s, s, self.num_classes)
 
@@ -71,7 +80,8 @@ class MaskRCNN(FasterRCNN):
         image_size = (images.shape[1], images.shape[2])
         features = self.backbone(images, train=train)
         proposals, _, _ = self.rpn(features, image_size)
-        class_logits, box_deltas = self.roi_heads(features[:4], proposals, image_size)
+        class_logits, box_deltas = self.roi_heads(features[:4], proposals, image_size,
+                                                  train=train)
         dets = self.roi_heads.postprocess(class_logits, box_deltas, proposals, image_size)
         mask_logits = self.predict_masks(features[:4], dets["boxes"], image_size)
         labels = jnp.maximum(dets["labels"], 0)  # padded rows index class 0
@@ -121,3 +131,10 @@ class MaskRCNN(FasterRCNN):
 @register_model("maskrcnn_resnet50_fpn")
 def maskrcnn_resnet50_fpn(*, num_classes: int = 91, dtype=jnp.float32, **kwargs) -> MaskRCNN:
     return MaskRCNN(num_classes=num_classes, dtype=dtype, **kwargs)
+
+
+@register_model("maskrcnn_resnet50_fpn_v2")
+def maskrcnn_resnet50_fpn_v2(*, num_classes: int = 91, dtype=jnp.float32, **kwargs) -> MaskRCNN:
+    """v2 recipe: 2-conv RPN head, conv-fc box head, BN mask head (reference
+    ``maskrcnn_resnet50_fpn_v2``, ``mask_rcnn.py:480-550``; 47.4 box mAP)."""
+    return MaskRCNN(num_classes=num_classes, variant="v2", dtype=dtype, **kwargs)

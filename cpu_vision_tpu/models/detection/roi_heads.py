@@ -19,7 +19,7 @@ from ...ops.poolers import multiscale_roi_align
 from ._utils import BalancedPositiveNegativeSampler, BoxCoder, Matcher
 from .rpn import smooth_l1
 
-__all__ = ["TwoMLPHead", "FastRCNNPredictor", "RoIHeads"]
+__all__ = ["TwoMLPHead", "FastRCNNConvFCHead", "FastRCNNPredictor", "RoIHeads"]
 
 
 class TwoMLPHead(nn.Module):
@@ -29,11 +29,31 @@ class TwoMLPHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = x.reshape(x.shape[0], -1)
         x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype)(x))
         x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype)(x))
         return x
+
+
+class FastRCNNConvFCHead(nn.Module):
+    """4x (3x3 conv + BN + relu) then flatten + FC — the v2-recipe box head
+    (reference ``FastRCNNConvFCHead``, ``faster_rcnn.py:322``)."""
+
+    channels: int = 256
+    conv_layers: int = 4
+    representation_size: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for _ in range(self.conv_layers):
+            x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=False, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        return nn.relu(nn.Dense(self.representation_size, dtype=self.dtype)(x))
 
 
 class FastRCNNPredictor(nn.Module):
@@ -62,33 +82,37 @@ class RoIHeads(nn.Module):
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     max_detections: int = 100
+    box_head_type: str = "mlp"  # "mlp" (v1) | "convfc" (v2 recipe)
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.box_head = TwoMLPHead(dtype=self.dtype)
+        if self.box_head_type == "convfc":
+            self.box_head = FastRCNNConvFCHead(dtype=self.dtype)
+        else:
+            self.box_head = TwoMLPHead(dtype=self.dtype)
         self.predictor = FastRCNNPredictor(self.num_classes, dtype=self.dtype)
 
     @property
     def _coder(self) -> BoxCoder:
         return BoxCoder(weights=(10.0, 10.0, 5.0, 5.0))
 
-    def _pool_and_predict(self, features, rois, image_size):
+    def _pool_and_predict(self, features, rois, image_size, train: bool = False):
         # feature strides are powers of two; shapes are static under jit
         scales = [2.0 ** _log2i(f.shape[1], image_size[0]) for f in features]
         pooled = multiscale_roi_align(
             features, rois, (self.pooled_size, self.pooled_size), scales=scales
         )
-        x = self.box_head(pooled)
+        x = self.box_head(pooled, train=train)
         return self.predictor(x)
 
     def __call__(self, features: Sequence[jnp.ndarray], proposals: jnp.ndarray,
-                 image_size: Tuple[int, int]):
+                 image_size: Tuple[int, int], train: bool = False):
         """features: FPN levels (P2..P5); proposals (N, P, 4).
         Returns (class_logits (N, P, C), box_deltas (N, P, C, 4))."""
         n, p, _ = proposals.shape
         batch_idx = jnp.repeat(jnp.arange(n, dtype=proposals.dtype), p)
         rois = jnp.concatenate([batch_idx[:, None], proposals.reshape(-1, 4)], axis=1)
-        scores, deltas = self._pool_and_predict(features, rois, image_size)
+        scores, deltas = self._pool_and_predict(features, rois, image_size, train)
         return (
             scores.reshape(n, p, self.num_classes),
             deltas.reshape(n, p, self.num_classes, 4),

@@ -29,20 +29,29 @@ def smooth_l1(x: jax.Array, beta: float = 1.0 / 9) -> jax.Array:
 
 
 class RPNHead(nn.Module):
-    """3x3 tower + objectness/deltas (reference ``RPNHead``, ``rpn.py:15``)."""
+    """3x3 tower + objectness/deltas (reference ``RPNHead``, ``rpn.py:15``;
+    ``conv_depth=2`` is the v2-recipe head, ``faster_rcnn.py:fasterrcnn_
+    resnet50_fpn_v2``)."""
 
     num_anchors: int
     channels: int = 256
+    conv_depth: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
-        conv = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv")
+        convs = [
+            nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype, name="conv" if i == 0 else f"conv{i}")
+            for i in range(self.conv_depth)
+        ]
         cls = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype, name="cls_logits")
         reg = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype, name="bbox_pred")
         logits, deltas = [], []
         for f in features:
-            t = nn.relu(conv(f))
+            t = f
+            for conv in convs:
+                t = nn.relu(conv(t))
             n, h, w, _ = t.shape
             logits.append(cls(t).reshape(n, h * w * self.num_anchors))
             deltas.append(reg(t).reshape(n, h * w * self.num_anchors, 4))
@@ -62,11 +71,12 @@ class RegionProposalNetwork(nn.Module):
     batch_size_per_image: int = 256
     positive_fraction: float = 0.5
     min_size: float = 1e-3
+    conv_depth: int = 1
     dtype: Any = jnp.float32
 
     def setup(self):
         num_anchors = len(self.anchor_sizes[0]) * len(self.aspect_ratios[0])
-        self.head = RPNHead(num_anchors, dtype=self.dtype)
+        self.head = RPNHead(num_anchors, conv_depth=self.conv_depth, dtype=self.dtype)
 
     @property
     def _coder(self) -> BoxCoder:

@@ -85,7 +85,9 @@ class MobileNetV2(nn.Module):
 
 
 class V3Block(nn.Module):
-    """MobileNetV3 bneck (reference ``mobilenetv3.py:InvertedResidual``)."""
+    """MobileNetV3 bneck (reference ``mobilenetv3.py:InvertedResidual``).
+    ``dilation > 1`` forces stride 1 (reference ``InvertedResidual.__init__``:
+    ``self.stride = 1 if cnf.dilation > 1 else cnf.stride``)."""
 
     features: int
     kernel: int
@@ -93,18 +95,21 @@ class V3Block(nn.Module):
     use_se: bool
     use_hs: bool
     strides: int
+    dilation: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = hardswish if self.use_hs else nn.relu
         inp = x.shape[-1]
-        use_res = self.strides == 1 and inp == self.features
+        strides = 1 if self.dilation > 1 else self.strides
+        use_res = strides == 1 and inp == self.features
         out = x
         if self.expanded != inp:
             out = ConvNormActivation(self.expanded, 1, activation=act, dtype=self.dtype)(out, train)
-        out = ConvNormActivation(self.expanded, self.kernel, self.strides,
-                                 groups=self.expanded, activation=act, dtype=self.dtype)(out, train)
+        out = ConvNormActivation(self.expanded, self.kernel, strides,
+                                 groups=self.expanded, dilation=self.dilation,
+                                 activation=act, dtype=self.dtype)(out, train)
         if self.use_se:
             from .layers import SqueezeExcitation
 

@@ -28,6 +28,7 @@ __all__ = [
     "param_bytes",
     "fake_quantize",
     "fake_quantize_params",
+    "QuantizableModel",
 ]
 
 
@@ -151,3 +152,61 @@ def fake_quantize_params(params, min_size: int = 4096):
         return leaf
 
     return jax.tree.map(fq, params)
+
+
+class QuantizableModel:
+    """A float flax model paired with the int8 pipeline — the TPU-native
+    counterpart of the reference's quantizable model classes
+    (``models/quantization/*.py``: fuse/observe/convert graph surgery
+    collapses to a pytree transform here).
+
+    ``init``/``apply`` delegate to the wrapped float model; ``quantize``
+    produces int8 variables (4x smaller); ``apply_quantized`` runs them;
+    QAT = ``apply`` with ``fake_quantize_params`` inside the loss.
+    """
+
+    def __init__(self, model, min_size: int = 4096):
+        self.model = model
+        self.min_size = min_size
+
+    def init(self, *args, **kwargs):
+        return self.model.init(*args, **kwargs)
+
+    def apply(self, variables, *args, **kwargs):
+        return self.model.apply(variables, *args, **kwargs)
+
+    def quantize(self, variables):
+        """Float variables -> int8-quantised variables."""
+        out = dict(variables)
+        out["params"], _ = quantize_params(variables["params"], self.min_size)
+        return out
+
+    def apply_quantized(self, qvariables, *args, **kwargs):
+        """Run with int8-quantised variables (dequantise-at-use)."""
+        variables = dict(qvariables)
+        variables["params"] = restore_params(qvariables["params"])
+        return self.model.apply(variables, *args, **kwargs)
+
+
+def _register_quantized_builders():
+    """Register the reference's 12 ``quantized_*`` names (reference
+    ``models/quantization/{googlenet,inception,mobilenetv2,mobilenetv3,
+    resnet,shufflenetv2}.py``)."""
+    from ._api import get_model_builder, register_model
+
+    for base in ("googlenet", "inception_v3", "mobilenet_v2",
+                 "mobilenet_v3_large", "resnet18", "resnet50",
+                 "resnext101_32x8d", "resnext101_64x4d",
+                 "shufflenet_v2_x0_5", "shufflenet_v2_x1_0",
+                 "shufflenet_v2_x1_5", "shufflenet_v2_x2_0"):
+        def make(base=base):
+            def builder(**kwargs):
+                return QuantizableModel(get_model_builder(base)(**kwargs))
+
+            builder.__name__ = f"quantized_{base}"
+            return builder
+
+        register_model(f"quantized_{base}")(make())
+
+
+_register_quantized_builders()

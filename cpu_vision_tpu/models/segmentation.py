@@ -26,6 +26,7 @@ __all__ = [
     "fcn_resnet101",
     "deeplabv3_resnet50",
     "deeplabv3_resnet101",
+    "deeplabv3_mobilenet_v3_large",
     "lraspp_mobilenet_v3_large",
 ]
 
@@ -99,10 +100,13 @@ class FCN(nn.Module):
     def __call__(self, x, train: bool = False):
         size = (x.shape[1], x.shape[2])
         feats = self.backbone(x, train=train, features_only=True)
-        out = FCNHead(512, self.num_classes, dtype=self.dtype)(feats["layer4"], train)
+        # hidden width = in_channels // 4 (reference FCNHead, fcn.py:35)
+        out = FCNHead(feats["layer4"].shape[-1] // 4, self.num_classes,
+                      dtype=self.dtype)(feats["layer4"], train)
         result = {"out": _upsample(out, size)}
         if self.aux:
-            aux = FCNHead(256, self.num_classes, dtype=self.dtype)(feats["layer3"], train)
+            aux = FCNHead(feats["layer3"].shape[-1] // 4, self.num_classes,
+                          dtype=self.dtype)(feats["layer3"], train)
             result["aux"] = _upsample(aux, size)
         return result
 
@@ -126,9 +130,37 @@ class DeepLabV3(nn.Module):
         y = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(y)
         result = {"out": _upsample(y, size)}
         if self.aux:
-            aux = FCNHead(256, self.num_classes, dtype=self.dtype)(feats["layer3"], train)
+            aux = FCNHead(feats["layer3"].shape[-1] // 4, self.num_classes,
+                          dtype=self.dtype)(feats["layer3"], train)
             result["aux"] = _upsample(aux, size)
         return result
+
+
+class MobileNetV3Backbone(nn.Module):
+    """Dilated MobileNetV3-Large feature extractor for segmentation heads
+    (reference ``_deeplabv3_mobilenetv3``, ``segmentation/deeplabv3.py:
+    204-224``): 'layer4' = the final 960-ch conv at output stride 16
+    (C5, dilated), 'layer3' = the reference's aux tap (stage_indices[-4])."""
+
+    dilated: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, features_only: bool = True):
+        from .mobilenet import _V3_LARGE, ConvNormActivation, V3Block, hardswish
+
+        y = ConvNormActivation(16, 3, 2, activation=hardswish, dtype=self.dtype)(x, train)
+        aux = None
+        # dilation 2 replaces stride in the last stage when dilated
+        # (reference _mobilenet_v3_conf dilation arg, mobilenetv3.py:227-248)
+        for i, (k, exp, out_c, se, hs, s) in enumerate(_V3_LARGE):
+            dil = 2 if (self.dilated and i >= 12) else 1
+            y = V3Block(out_c, k, exp, se, hs, s, dilation=dil, dtype=self.dtype)(y, train)
+            if i == 6:  # features index 7 = reference aux_pos
+                aux = y
+        out = ConvNormActivation(6 * y.shape[-1], 1, activation=hardswish,
+                                 dtype=self.dtype)(y, train)
+        return {"layer3": aux, "layer4": out}
 
 
 class LRASPP(nn.Module):
@@ -183,6 +215,14 @@ def deeplabv3_resnet50(*, num_classes: int = 21, aux_loss: bool = False, dtype=j
 @register_model("deeplabv3_resnet101")
 def deeplabv3_resnet101(*, num_classes: int = 21, aux_loss: bool = False, dtype=jnp.float32):
     return DeepLabV3(ResNet(Bottleneck, (3, 4, 23, 3), replace_stride_with_dilation=(False, True, True), dtype=dtype), num_classes, aux_loss, dtype)
+
+
+@register_model("deeplabv3_mobilenet_v3_large")
+def deeplabv3_mobilenet_v3_large(*, num_classes: int = 21, aux_loss: bool = False,
+                                 dtype=jnp.float32):
+    """(reference ``deeplabv3_mobilenet_v3_large``, ``deeplabv3.py:358-390``)."""
+    return DeepLabV3(MobileNetV3Backbone(dilated=True, dtype=dtype),
+                     num_classes, aux_loss, dtype)
 
 
 @register_model("lraspp_mobilenet_v3_large")

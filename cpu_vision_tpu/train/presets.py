@@ -16,6 +16,7 @@ __all__ = [
     "ObjectDetectionEval",
     "SemanticSegmentationEval",
     "VideoClassificationEval",
+    "OpticalFlowEval",
 ]
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -101,5 +102,17 @@ def VideoClassificationEval(
             T.CenterCrop(crop_size),
             T.ToDtype(jnp.float32, scale=True),
             T.Normalize(mean, std),
+        ]
+    )
+
+
+def OpticalFlowEval() -> T.Compose:
+    """Optical-flow eval preset (reference ``OpticalFlow``,
+    ``transforms/_presets.py:190-208``): uint8 -> float in [-1, 1].
+    Apply to each image of the (img1, img2) pair."""
+    return T.Compose(
+        [
+            T.ToDtype(jnp.float32, scale=True),
+            T.Normalize((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
         ]
     )
