@@ -85,6 +85,21 @@ def _halo_stencil_call(
     # DMA row-band must be a multiple of the 8-row f32 sublane tile
     band = _round_up(th + 2 * halo, 8)
 
+    # Fast path: build the row halo *inside* the kernel (reflected row copies
+    # in VMEM) so XLA only pads columns — one bandwidth pass instead of two.
+    # Needs 8-aligned DMA row slabs, hence h % 8 == 0 and a full slab per
+    # tile.  halo < 8 so one extra 8-row slab covers the top/bottom halos.
+    slab = _round_up(th + 2 * halo + 8, 8)
+    n_tiles = ht // th
+    # middle tiles assume an unclamped slab start of ti*th - 8; the deepest
+    # middle tile must not hit the h - slab clamp or its static in-slab
+    # offset would be wrong
+    mid_ok = n_tiles <= 2 or (n_tiles - 2) * th - 8 <= h - slab
+    fuse_rows = (h % 8 == 0) and (h >= slab) and (halo < 8) and (n_tiles >= 2) and mid_ok
+    if fuse_rows:
+        return _halo_stencil_call_rowfused(
+            maps_nhw, halo, compute, out_dtypes, th, wp, interpret)
+
     # reflect only the halo ring (reflect pads must be < dim size); the
     # tile-rounding / lane-alignment filler is zeros and never reaches the
     # sliced-off output columns/rows
@@ -142,6 +157,136 @@ def _halo_stencil_call(
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, band, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(padded)
+    outs = outs if isinstance(outs, (tuple, list)) else (outs,)
+    return tuple(o[:, :h, :] for o in outs)
+
+
+def _halo_stencil_call_rowfused(
+    maps_nhw: jax.Array,
+    halo: int,
+    compute: Callable[[jax.Array], Sequence[jax.Array]],
+    out_dtypes: Sequence,
+    th: int,
+    wp: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Row-halo-in-kernel variant of :func:`_halo_stencil_call`.
+
+    XLA pads only the lane (W) dimension; the sublane (row) halo is built in
+    VMEM by copying/reflecting rows out of an 8-row-aligned DMA slab —
+    saving one full HBM pass over the image.  Same compute contract: tile
+    row 0 = image row ``ti*th - halo``.
+    """
+    n, h, w = maps_nhw.shape
+    ht = _round_up(h, th)
+    n_tiles = ht // th
+    slab = _round_up(th + 2 * halo + 8, 8)  # covers th + halo rows ±8 slack
+    band2 = _round_up(th + 2 * halo, 8)
+
+    # single column pad: reflect halo cols + zero lane filler, one pass
+    left = maps_nhw[:, :, 1 : halo + 1][:, :, ::-1]
+    right = maps_nhw[:, :, w - halo - 1 : w - 1][:, :, ::-1]
+    zcols = jnp.zeros((n, h, wp - w - 2 * halo), maps_nhw.dtype)
+    padded = jnp.concatenate([left, maps_nhw, right, zcols], axis=2)  # (N,H,wp)
+
+    last = n_tiles - 1
+    # static in-slab offsets of image row ti*th - halo, per tile class
+    off_first = 0                                  # slab starts at image row 0
+    off_mid = 8 - halo                             # slab starts at ti*th - 8
+    off_last = last * th - halo - (h - slab) if n_tiles > 1 else 0
+
+    def kernel(in_hbm, *out_refs_and_scratch):
+        out_refs = out_refs_and_scratch[: len(out_dtypes)]
+        scratch, tile_ref, sem = out_refs_and_scratch[len(out_dtypes) :]
+        ni = pl.program_id(0)
+        ti = pl.program_id(1)
+        step = ni * n_tiles + ti
+
+        def slab_start(t_i):
+            # 8-aligned (th % 8 == 0, h % 8 == 0, slab % 8 == 0); Mosaic's
+            # divisibility prover can't see through the max/min clamps, so
+            # assert the alignment with pl.multiple_of
+            s = t_i * th - 8
+            s = jnp.maximum(s, 0)
+            return pl.multiple_of(jnp.minimum(s, h - slab), 8)
+
+        def dma(slot, n_i, t_i):
+            return pltpu.make_async_copy(
+                in_hbm.at[n_i, pl.ds(slab_start(t_i), slab), :],
+                scratch.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(step == 0)
+        def _():
+            dma(0, ni, ti).start()
+
+        nxt = step + 1
+
+        @pl.when(nxt < n * n_tiles)
+        def _():
+            dma(nxt % 2, nxt // n_tiles, nxt % n_tiles).start()
+
+        dma(step % 2, ni, ti).wait()
+        raw = scratch.at[step % 2]
+        rows = th + 2 * halo
+
+        # assemble the (th + 2*halo) tile rows at their in-slab offset
+        # (n_tiles >= 2 is guaranteed by the fast-path gate)
+        @pl.when(ti == 0)
+        def _():
+            # image rows [0, th + halo) land at tile rows [halo, ...)
+            tile_ref[pl.ds(halo, th + halo)] = raw[pl.ds(off_first, th + halo)]
+
+        @pl.when((ti > 0) & (ti < last))
+        def _():
+            tile_ref[pl.ds(0, rows)] = raw[pl.ds(off_mid, rows)]
+
+        @pl.when(ti == last)
+        def _():
+            # valid image rows end at h - 1
+            avail = h - (last * th - halo)  # rows till image end
+            take = min(rows, avail)
+            tile_ref[pl.ds(0, take)] = raw[pl.ds(off_last, take)]
+
+        # top reflection (image rows -1..-halo): tile[halo-1-k] = tile[halo+1+k]
+        @pl.when(ti == 0)
+        def _():
+            for k in range(halo):
+                tile_ref[halo - 1 - k] = tile_ref[halo + 1 + k]
+
+        # bottom reflection (image rows h..h+halo-1)
+        @pl.when(ti == last)
+        def _():
+            base = last * th - halo  # image row of tile row 0
+            for k in range(halo):
+                r_out = h + k - base          # tile row of image row h + k
+                r_src = h - 2 - k - base      # tile row of image row h-2-k
+                if 0 <= r_out < band2 and 0 <= r_src < band2:
+                    tile_ref[r_out] = tile_ref[r_src]
+
+        results = compute(tile_ref[...], th, ti)
+        for ref, res in zip(out_refs, results):
+            ref[0] = res[:, :w].astype(ref.dtype)
+
+    out_shapes = tuple(jax.ShapeDtypeStruct((n, ht, w), dt) for dt in out_dtypes)
+    out_specs = tuple(
+        pl.BlockSpec((1, th, w), lambda ni, ti: (ni, ti, 0), memory_space=pltpu.VMEM)
+        for _ in out_dtypes
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n, n_tiles),
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, slab, wp), jnp.float32),
+            pltpu.VMEM((band2, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -93,3 +93,64 @@ class TestInTileHysteresis:
         edges = hysteresis(np.asarray(cls) == 2, np.asarray(cls) >= 1)
         ref = np.asarray(ops.canny(jnp.asarray(img)[..., None], 0.3, 0.6, backend="xla"))[..., 0]
         np.testing.assert_array_equal(np.asarray(edges).astype(np.float32), ref)
+
+
+class TestHaloStencilRowFused:
+    """The row-fused halo path (`_halo_stencil_call_rowfused`) must be
+    bit-identical to the reflect-pad oracle on every tile class: first /
+    middle / last, divisible and non-divisible heights, and the shapes
+    where a middle tile *would* clamp (routed back to the slow path)."""
+
+    @staticmethod
+    def _run(img, halo, tile_h):
+        from cpu_vision_tpu.ops.pallas.stencil import _halo_stencil_call
+
+        k = 2 * halo + 1
+
+        def compute(tile, th_eff, ti=0):
+            w_out = tile.shape[1] - 2 * halo
+            acc = jnp.zeros((th_eff, w_out), tile.dtype)
+            for dr in range(k):
+                for dc in range(k):
+                    acc = acc + tile[dr:dr + th_eff, dc:dc + w_out]
+            return (acc,)
+
+        (out,) = _halo_stencil_call(
+            jnp.asarray(img)[None], halo, compute, [jnp.float32],
+            tile_h=tile_h, interpret=True)
+        return np.asarray(out)[0]
+
+    def _oracle(self, img, halo):
+        k = 2 * halo + 1
+        h, w = img.shape
+        p = np.pad(img, ((halo, halo), (halo, halo)), mode="reflect")
+        out = np.zeros_like(img)
+        for dr in range(k):
+            for dc in range(k):
+                out = out + p[dr:dr + h, dc:dc + w]
+        return out
+
+    @pytest.mark.parametrize(
+        "h,w,halo,tile_h",
+        [
+            (96, 130, 1, 32),    # divisible: first/mid/last tiles
+            (104, 64, 2, 32),    # non-divisible height, h % 8 == 0
+            (96, 40, 7, 32),     # max fusable halo
+            (100, 64, 1, 32),    # h % 8 != 0 -> slow path (parity anyway)
+            (1024, 48, 7, 256),  # deep mid tiles, halo 7
+        ],
+    )
+    def test_matches_reflect_pad_oracle(self, rng, h, w, halo, tile_h):
+        img = rng.random((h, w), dtype=np.float32)
+        np.testing.assert_allclose(
+            self._run(img, halo, tile_h), self._oracle(img, halo),
+            rtol=1e-6, atol=1e-5)
+
+    def test_mid_tile_clamp_shape(self, rng):
+        # h=520, th=256, halo=7: the middle tile's desired slab start
+        # (248) exceeds h - slab (240); the gate must route this to the
+        # slow path -- pre-fix the fast path read the wrong rows here.
+        img = rng.random((520, 64), dtype=np.float32)
+        np.testing.assert_allclose(
+            self._run(img, 7, 256), self._oracle(img, 7),
+            rtol=1e-6, atol=1e-5)
