@@ -18,6 +18,7 @@ from ._api import (  # noqa: F401
 from . import alexnet as _alexnet  # noqa: F401
 from . import detection as _detection  # noqa: F401
 from . import optical_flow as _optical_flow  # noqa: F401
+from . import stereo as _stereo  # noqa: F401
 from . import googlenet as _googlenet  # noqa: F401
 from . import maxvit as _maxvit  # noqa: F401
 from . import mvit as _mvit  # noqa: F401
