@@ -62,7 +62,17 @@ from .video_utils import RandomClipSampler, UniformClipSampler, VideoClips  # no
 from .voc import VOC_CLASSES, VOCDetection, VOCSegmentation  # noqa: F401
 from .fakedata import FakeData  # noqa: F401
 from .folder import DatasetFolder, ImageFolder  # noqa: F401
-from .loader import DataLoader, DistributedSampler  # noqa: F401
+from .loader import (  # noqa: F401
+    BatchSampler,
+    DataLoader,
+    DistributedSampler,
+    RandomSampler,
+    Sampler,
+    SequentialSampler,
+    SubsetRandomSampler,
+    WeightedRandomSampler,
+    device_prefetch,
+)
 from .mnist import KMNIST, MNIST, FashionMNIST  # noqa: F401
 from .utils import (  # noqa: F401
     check_integrity,
