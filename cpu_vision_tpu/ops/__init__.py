@@ -82,3 +82,25 @@ from .filters import (  # noqa: F401
     spatial_gradient,
     unsharp_mask,
 )
+
+# module-form ops last: ops/misc.py pulls blocks from models.layers /
+# models.detection, which themselves import the functional tier above
+from .misc import (  # noqa: F401  (import cycle: must stay at end of file)
+    Conv2dNormActivation,
+    Conv3dNormActivation,
+    ConvNormActivation,
+    DeformConv2d,
+    DropBlock2d,
+    DropBlock3d,
+    FeaturePyramidNetwork,
+    FrozenBatchNorm,
+    FrozenBatchNorm2d,
+    MLP,
+    Permute,
+    PSRoIAlign,
+    PSRoIPool,
+    RoIAlign,
+    RoIPool,
+    SqueezeExcitation,
+    StochasticDepth,
+)
