@@ -1,4 +1,6 @@
-"""Image I/O: native libjpeg/libpng codecs (C++ shim) with PIL fallback."""
+"""Image + video I/O: native libjpeg/libpng/libwebp codecs (C++ shim) with
+PIL fallback, and a native MJPEG-AVI / array / frame-dir video layer
+(reference ``torchvision/io/__init__.py`` surface)."""
 
 from .image import (  # noqa: F401
     ImageReadMode,
@@ -15,3 +17,69 @@ from .image import (  # noqa: F401
     write_jpeg,
     write_png,
 )
+from .video import (  # noqa: F401
+    Timebase,
+    VideoMetaData,
+    VideoReader,
+    read_video,
+    read_video_timestamps,
+    write_video,
+)
+
+# capability flags (reference ``io/__init__.py:15-27``): this build decodes
+# MJPEG-AVI natively on the host CPU; there is no ffmpeg video_opt and no
+# GPU/NVDEC path on TPU
+_HAS_CPU_VIDEO_DECODER = True
+_HAS_VIDEO_OPT = False
+_HAS_GPU_VIDEO_DECODER = False
+
+Video = VideoReader  # reference alias (``io/__init__.py``)
+
+
+def decode_heic(data, mode=None):
+    """HEIC decode (reference ``io/image.py:decode_heic``): gated on a
+    libheif build, exactly as the reference raises when compiled without
+    it — no heif library exists in this runtime."""
+    raise RuntimeError(
+        "decode_heic requires libheif, which this build was compiled without")
+
+
+def _unsupported_video_opt(name):
+    def fn(*args, **kwargs):
+        raise RuntimeError(
+            f"{name} is part of the ffmpeg-based video_opt backend "
+            "(_HAS_VIDEO_OPT=False on this build); use read_video / "
+            "VideoReader, which decode MJPEG-AVI, .npy/.npz and frame "
+            "directories natively")
+
+    fn.__name__ = name
+    return fn
+
+
+# private video_opt entry points (reference ``io/_video_opt.py``): the two
+# file-based ones map onto the native layer, the memory/probe ones are gated
+def _read_video_from_file(filename, **kwargs):
+    video, aframes, info = read_video(filename)
+    return video, aframes, info
+
+
+def _read_video_timestamps_from_file(filename, **kwargs):
+    pts, fps = read_video_timestamps(filename)
+    return pts, [], fps
+
+
+def _probe_video_from_file(filename):
+    pts, fps = read_video_timestamps(filename)
+    meta = VideoMetaData()
+    meta.has_video = True
+    meta.video_fps = float(fps or 0.0)
+    meta.video_duration = len(pts) / fps if fps else 0.0
+    return meta
+
+
+_read_video_from_memory = _unsupported_video_opt("_read_video_from_memory")
+_read_video_timestamps_from_memory = _unsupported_video_opt(
+    "_read_video_timestamps_from_memory")
+_probe_video_from_memory = _unsupported_video_opt("_probe_video_from_memory")
+_read_video_clip_from_memory = _unsupported_video_opt("_read_video_clip_from_memory")
+_read_video_meta_data = _probe_video_from_file

@@ -1,0 +1,113 @@
+"""Video IO layer (reference ``torchvision/io/{video,video_reader}.py``):
+MJPEG-AVI container round-trip, array/frame-dir backends, streaming reader,
+and io-namespace parity with the reference export list."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cpu_vision_tpu import io as cvio
+
+
+@pytest.fixture()
+def video():
+    rng = np.random.default_rng(0)
+    base = np.zeros((32, 48, 3), np.uint8)
+    base[8:24, 12:36] = (200, 60, 60)  # block → JPEG-friendly content
+    base += (rng.random((32, 48, 3)) * 8).astype(np.uint8)
+    return np.stack([np.roll(base, 4 * i, axis=1) for i in range(6)])
+
+
+class TestAvi:
+    def test_roundtrip(self, tmp_path, video):
+        p = str(tmp_path / "v.avi")
+        cvio.write_video(p, video, fps=12.0, options={"quality": 95})
+        out, audio, info = cvio.read_video(p)
+        assert out.shape == video.shape and out.dtype == np.uint8
+        assert info["video_fps"] == pytest.approx(12.0)
+        assert audio.size == 0
+        # high-quality MJPEG of blocky content stays close
+        err = np.abs(out.astype(int) - video.astype(int)).mean()
+        assert err < 6.0
+
+    def test_pts_slicing(self, tmp_path, video):
+        p = str(tmp_path / "v.avi")
+        cvio.write_video(p, video, fps=10.0)
+        v, _, _ = cvio.read_video(p, start_pts=1, end_pts=3)
+        assert v.shape[0] == 3
+        v, _, _ = cvio.read_video(p, start_pts=0.1, end_pts=0.35, pts_unit="sec")
+        assert v.shape[0] == 4  # frames 1..4 at 10 fps
+        with pytest.raises(ValueError):
+            cvio.read_video(p, start_pts=3, end_pts=1)
+
+    def test_output_format(self, tmp_path, video):
+        p = str(tmp_path / "v.avi")
+        cvio.write_video(p, video, fps=10.0)
+        v, _, _ = cvio.read_video(p, output_format="TCHW")
+        assert v.shape == (6, 3, 32, 48)
+        with pytest.raises(ValueError):
+            cvio.read_video(p, output_format="THCW")
+
+    def test_timestamps(self, tmp_path, video):
+        p = str(tmp_path / "v.avi")
+        cvio.write_video(p, video, fps=25.0)
+        pts, fps = cvio.read_video_timestamps(p)
+        assert pts == list(range(6)) and fps == pytest.approx(25.0)
+        pts_s, _ = cvio.read_video_timestamps(p, "sec")
+        assert pts_s[1] == pytest.approx(0.04)
+
+    def test_unsupported_codec_raises(self, tmp_path, video):
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            cvio.write_video(str(tmp_path / "v.mp4"), video, 10, video_codec="libx264")
+
+
+class TestOtherBackends:
+    def test_npy_exact(self, tmp_path, video):
+        p = str(tmp_path / "v.npy")
+        cvio.write_video(p, video, fps=10, video_codec="npy")
+        out, _, _ = cvio.read_video(p)
+        np.testing.assert_array_equal(out, video)
+
+    def test_frame_dir(self, tmp_path, video):
+        d = tmp_path / "frames"
+        d.mkdir()
+        for i in range(video.shape[0]):
+            cvio.write_png(video[i], str(d / f"{i:04d}.png"))
+        out, _, _ = cvio.read_video(str(d))
+        np.testing.assert_array_equal(out, video)  # png is lossless
+
+
+class TestVideoReader:
+    def test_stream_and_seek(self, tmp_path, video):
+        p = str(tmp_path / "v.avi")
+        cvio.write_video(p, video, fps=10.0)
+        r = cvio.VideoReader(p)
+        frames = list(r)
+        assert len(frames) == 6
+        assert frames[2]["pts"] == pytest.approx(0.2)
+        assert frames[0]["data"].shape == (32, 48, 3)
+        r.seek(0.3)
+        assert next(r)["pts"] == pytest.approx(0.3)
+        md = r.get_metadata()
+        assert md["video"]["fps"] == [pytest.approx(10.0)]
+        assert md["video"]["duration"] == [pytest.approx(0.6)]
+        with pytest.raises(ValueError):
+            cvio.VideoReader(p, stream="audio")
+
+
+class TestNamespaceParity:
+    def test_reference_io_exports_present(self):
+        import re
+
+        src = open("/root/reference/torchvision/io/__init__.py").read()
+        m = re.search(r"__all__\s*=\s*\[(.*?)\]", src, re.S)
+        ref = re.findall(r'"([\w.]+)"', m.group(1))
+        assert [r for r in ref if not hasattr(cvio, r)] == []
+
+    def test_video_opt_gating(self):
+        assert cvio._HAS_VIDEO_OPT is False
+        with pytest.raises(RuntimeError, match="video_opt"):
+            cvio._read_video_from_memory(b"")
+        with pytest.raises(RuntimeError, match="libheif"):
+            cvio.decode_heic(b"")
