@@ -23,6 +23,7 @@ from ._color import (  # noqa: F401
     RandomPhotometricDistort,
     RandomPosterize,
     RandomSolarize,
+    RGB,
 )
 from ._detection_aug import JPEG, RandomIoUCrop  # noqa: F401
 from ._container import Compose, RandomApply, RandomChoice, RandomOrder  # noqa: F401
@@ -48,13 +49,20 @@ from ._geometry import (  # noqa: F401
 from ._misc import (  # noqa: F401
     ClampBoundingBoxes,
     ConvertBoundingBoxFormat,
+    ConvertImageDtype,
     Identity,
     Lambda,
+    LinearTransformation,
     Normalize,
+    PILToTensor,
     SanitizeBoundingBoxes,
     ToDtype,
     ToImage,
+    ToPILImage,
     ToPureArray,
+    ToPureTensor,
+    ToTensor,
+    UniformTemporalSubsample,
 )
 from ._registry import register_kernel  # noqa: F401
 from ._transform import Transform  # noqa: F401

@@ -251,3 +251,19 @@ class RandomPhotometricDistort(Transform):
         if not params["contrast_before"] and params["contrast"] is not None:
             inpt = F.adjust_contrast(inpt, params["contrast"])
         return inpt
+
+
+class RGB(Transform):
+    """Convert to 3-channel RGB (reference v2 ``_color.py:RGB``): grayscale
+    inputs are channel-repeated, RGB passes through."""
+
+    def _transform(self, inpt, params):
+        import jax.numpy as jnp
+
+        arr = inpt.data if hasattr(inpt, "data") else inpt
+        if arr.shape[-1] == 3:
+            return inpt
+        if arr.shape[-1] == 1:
+            out = jnp.repeat(arr, 3, axis=-1)
+            return type(inpt)(out) if hasattr(inpt, "data") else out
+        raise ValueError(f"expected 1 or 3 channels, got {arr.shape[-1]}")

@@ -34,7 +34,14 @@ def _is_transformable(x) -> bool:
         return True
     import numpy as np
 
-    return isinstance(x, np.ndarray)
+    if isinstance(x, np.ndarray):
+        return True
+    try:  # PIL inputs (ToTensor / PILToTensor / ToImage interop tier)
+        from PIL import Image as PILImage
+
+        return isinstance(x, PILImage.Image)
+    except ImportError:  # pragma: no cover
+        return False
 
 
 class Transform:
