@@ -558,3 +558,265 @@ hflip = horizontal_flip
 vflip = vertical_flip
 adjust_color = adjust_saturation
 convert_image_dtype = to_dtype
+
+
+# ------------------------------------------------- remaining reference names
+# (reference ``transforms/v2/functional/__init__.py`` exports not covered by
+# the dispatched tier above)
+
+
+def _elastic_bboxes(b: BoundingBoxes, displacement, interpolation="bilinear",
+                    fill=None):
+    """Approximate-inverse corner mapping (reference ``elastic_bounding_boxes``,
+    ``v2/functional/_geometry.py:1834-1890``): sample ``id_grid -
+    displacement`` at the (ceiled) box corners, take the min/max envelope."""
+    h, w = b.canvas_size
+    disp = jnp.asarray(displacement, jnp.float32)[0]  # (H, W, 2)
+    xyxy = _xyxy(b).reshape(-1, 4)
+    corners = jnp.stack(
+        [xyxy[:, jnp.asarray([0, 1])], xyxy[:, jnp.asarray([2, 1])],
+         xyxy[:, jnp.asarray([2, 3])], xyxy[:, jnp.asarray([0, 3])]], axis=1,
+    ).reshape(-1, 2)
+    idx = jnp.ceil(corners).astype(jnp.int32)
+    ix = jnp.clip(idx[:, 0], 0, w - 1)
+    iy = jnp.clip(idx[:, 1], 0, h - 1)
+    # identity grid matching ops.elastic (align_corners=False, +0.5 centres)
+    gx = (ix.astype(jnp.float32) + 0.5) / w * 2.0 - 1.0
+    gy = (iy.astype(jnp.float32) + 0.5) / h * 2.0 - 1.0
+    inv = jnp.stack([gx, gy], axis=-1) - disp[iy, ix]
+    size = jnp.asarray([w, h], jnp.float32)
+    pts = (inv + 1.0) * 0.5 * size - 0.5
+    pts = pts.reshape(-1, 4, 2)
+    mins = jnp.min(pts, axis=1)
+    maxs = jnp.max(pts, axis=1)
+    out = jnp.concatenate([mins, maxs], axis=-1).reshape(b.data.shape[:-1] + (4,))
+    out = jnp.stack([
+        jnp.clip(out[..., 0], 0, w), jnp.clip(out[..., 1], 0, h),
+        jnp.clip(out[..., 2], 0, w), jnp.clip(out[..., 3], 0, h)], axis=-1)
+    return _from_xyxy(out.astype(b.data.dtype), b)
+
+
+register_kernel(elastic, BoundingBoxes)(_elastic_bboxes)
+elastic_transform = elastic  # reference alias (``_geometry.py:elastic_transform``)
+
+
+def five_crop(inpt, size):
+    """Four corners + centre (reference ``five_crop``,
+    ``v2/functional/_geometry.py:2163``); returns a 5-tuple."""
+    ch, cw = (size, size) if isinstance(size, int) else tuple(size)
+    h, w = get_size(inpt)
+    if ch > h or cw > w:
+        raise ValueError(f"crop size {(ch, cw)} larger than image {(h, w)}")
+    return (
+        crop(inpt, 0, 0, ch, cw),
+        crop(inpt, 0, w - cw, ch, cw),
+        crop(inpt, h - ch, 0, ch, cw),
+        crop(inpt, h - ch, w - cw, ch, cw),
+        center_crop(inpt, (ch, cw)),
+    )
+
+
+def ten_crop(inpt, size, vertical_flip: bool = False):
+    """``five_crop`` of the input + of its flip (reference ``ten_crop``,
+    ``_geometry.py:2246``)."""
+    first = five_crop(inpt, size)
+    flipped = vflip(inpt) if vertical_flip else hflip(inpt)
+    return first + five_crop(flipped, size)
+
+
+def get_num_channels(inpt) -> int:
+    """(reference ``get_num_channels``, ``v2/functional/_meta.py:100``)."""
+    data = inpt.data if isinstance(inpt, TVArray) else jnp.asarray(inpt)
+    return 1 if data.ndim == 2 else int(data.shape[-1])
+
+
+def get_dimensions(inpt):
+    """[C, H, W] (reference ``get_dimensions``, ``_meta.py:75``)."""
+    h, w = get_size(inpt)
+    return [get_num_channels(inpt), h, w]
+
+
+def get_image_size(inpt):
+    """v1 name: [W, H] (reference ``_functional_tensor.py:get_image_size``)."""
+    h, w = get_size(inpt)
+    return [w, h]
+
+
+def get_num_frames(inpt) -> int:
+    """Leading (time) dim of a video (reference ``get_num_frames``,
+    ``_meta.py:118``)."""
+    data = inpt.data if isinstance(inpt, TVArray) else jnp.asarray(inpt)
+    return int(data.shape[0])
+
+
+get_image_num_channels = get_num_channels  # v1 alias
+
+
+def is_pure_tensor(inpt) -> bool:
+    """Array that is not a TV-typed wrapper (reference ``is_pure_tensor``)."""
+    import numpy as _np
+
+    return isinstance(inpt, (jax.Array, _np.ndarray)) and not isinstance(inpt, TVArray)
+
+
+def _grayscale_to_rgb_image(img):
+    if img.shape[-1] == 3:
+        return img
+    return jnp.repeat(img, 3, axis=-1)
+
+
+grayscale_to_rgb = _typed(_grayscale_to_rgb_image)
+
+
+def to_grayscale(inpt, num_output_channels: int = 1):
+    """v1 alias of :func:`rgb_to_grayscale` (reference ``_deprecated.py``)."""
+    return rgb_to_grayscale(inpt, num_output_channels)
+
+
+def _permute_channels_image(img, permutation):
+    return jnp.take(img, jnp.asarray(permutation), axis=-1)
+
+
+permute_channels = _typed(_permute_channels_image)
+
+
+def _uniform_temporal_subsample_video(v: Video, num_samples: int):
+    t = v.data.shape[0]
+    idx = jnp.linspace(0, t - 1, num_samples).round().astype(jnp.int32)
+    return Video(jnp.take(v.data, idx, axis=0))
+
+
+def uniform_temporal_subsample(inpt, num_samples: int):
+    """Evenly pick frames along T (reference ``uniform_temporal_subsample``,
+    ``v2/functional/_temporal.py:10``)."""
+    data = inpt.data if isinstance(inpt, TVArray) else jnp.asarray(inpt)
+    t = data.shape[0]
+    idx = jnp.linspace(0, t - 1, num_samples).round().astype(jnp.int32)
+    out = jnp.take(data, idx, axis=0)
+    return wrap(out, inpt) if isinstance(inpt, TVArray) else out
+
+
+def jpeg(inpt, quality: int):
+    """JPEG round-trip compression artifact (reference ``jpeg``,
+    ``v2/functional/_augment.py:57``): host-side via the native codec."""
+    import numpy as _np
+
+    from ..io import decode_jpeg, encode_jpeg
+
+    data = inpt.data if isinstance(inpt, TVArray) else inpt
+    arr = _np.asarray(data)
+    if arr.dtype != _np.uint8:
+        raise TypeError(f"jpeg expects uint8 images, got {arr.dtype}")
+    flat = arr.reshape((-1,) + arr.shape[-3:]) if arr.ndim > 3 else arr[None]
+    out = _np.stack([decode_jpeg(encode_jpeg(f, quality=quality)).reshape(f.shape)
+                     for f in flat])
+    out = jnp.asarray(out.reshape(arr.shape))
+    return wrap(out, inpt) if isinstance(inpt, TVArray) else out
+
+
+def sanitize_bounding_boxes(boxes, format=None, canvas_size=None,
+                            min_size: float = 1.0, min_area: float = 1.0):
+    """Functional form of ``SanitizeBoundingBoxes`` (reference
+    ``v2/functional/_misc.py:sanitize_bounding_boxes``).  Static-shape
+    variant: returns (boxes-with-invalid-rows-zeroed, validity mask) instead
+    of filtering rows."""
+    if not isinstance(boxes, BoundingBoxes):
+        boxes = BoundingBoxes(boxes, format, tuple(canvas_size))
+    clamped = clamp_bounding_boxes(boxes)
+    ok = sanitize_bounding_boxes_mask(clamped, min_size, min_area)
+    data = jnp.where(ok[..., None], clamped.data, 0.0)
+    return BoundingBoxes(data, clamped.format, tuple(clamped.canvas_size)), ok
+
+
+def to_pil_image(inpt):
+    """Array -> PIL (reference v1 ``to_pil_image``)."""
+    import numpy as _np
+    from PIL import Image as PILImage
+
+    arr = _np.asarray(inpt.data if isinstance(inpt, TVArray) else inpt)
+    if arr.dtype != _np.uint8:
+        arr = (_np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(_np.uint8)
+    if arr.ndim == 3 and arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    return PILImage.fromarray(arr)
+
+
+# ---------------------------- reference per-type kernel names (auto-aliased)
+
+_TYPE_SUFFIX = [(Image, "image"), (Video, "video"), (Mask, "mask"),
+                (BoundingBoxes, "bounding_boxes")]
+# geometry kernels whose reference form returns (boxes, canvas_size)
+_BBOX_TUPLE_RETURN = {"resize", "rotate", "pad", "crop", "center_crop",
+                      "resized_crop"}
+
+
+def _make_kernel_alias(fn, name, suffix):
+    if suffix == "bounding_boxes":
+        def alias(inpt, format, canvas_size, *a, **k):
+            out = fn(BoundingBoxes(inpt, format, tuple(canvas_size)), *a, **k)
+            if name in _BBOX_TUPLE_RETURN:
+                return out.data, tuple(out.canvas_size)
+            return out.data
+    elif suffix == "mask":
+        def alias(inpt, *a, **k):
+            return fn(Mask(jnp.asarray(inpt)), *a, **k).data
+    elif suffix == "video":
+        def alias(inpt, *a, **k):
+            return fn(Video(jnp.asarray(inpt)), *a, **k).data
+    else:
+        def alias(inpt, *a, **k):
+            return fn(jnp.asarray(inpt), *a, **k)
+    alias.__name__ = f"{name}_{suffix}"
+    alias.__doc__ = (f"Per-type kernel (reference ``{name}_{suffix}``): plain-"
+                     f"array form of :func:`{name}` for this input type.")
+    return alias
+
+
+def _install_kernel_aliases():
+    from ._registry import _KERNEL_REGISTRY
+
+    g = globals()
+    skip = {"hflip", "vflip", "adjust_color", "convert_image_dtype",
+            "elastic_transform"}  # alias names; reference suffixes canonical ones
+    for name in list(g):
+        fn = g[name]
+        if name in skip or not (callable(fn)
+                                and getattr(fn, "_is_typed_functional", False)):
+            continue
+        table = _KERNEL_REGISTRY.get(fn, {})
+        for t, suffix in _TYPE_SUFFIX:
+            if t in table and f"{name}_{suffix}" not in g:
+                g[f"{name}_{suffix}"] = _make_kernel_alias(fn, name, suffix)
+    # v1-suffixed names the reference keeps for to_dtype under its old name
+    g.setdefault("to_dtype_image", _make_kernel_alias(to_dtype, "to_dtype", "image"))
+    g.setdefault("to_dtype_video", _make_kernel_alias(to_dtype, "to_dtype", "video"))
+    # five/ten crop per-type forms (images/videos share the array path)
+    g.setdefault("five_crop_image", lambda x, size: five_crop(jnp.asarray(x), size))
+    g.setdefault("five_crop_video", lambda x, size: five_crop(Video(jnp.asarray(x)), size))
+    g.setdefault("ten_crop_image",
+                 lambda x, size, vertical_flip=False: ten_crop(jnp.asarray(x), size, vertical_flip))
+    g.setdefault("ten_crop_video",
+                 lambda x, size, vertical_flip=False: ten_crop(Video(jnp.asarray(x)), size, vertical_flip))
+    g.setdefault("jpeg_image", lambda x, quality: jpeg(x, quality))
+    g.setdefault("jpeg_video", lambda x, quality: jpeg(x, quality))
+    g.setdefault("uniform_temporal_subsample_video",
+                 lambda x, n: uniform_temporal_subsample(x, n))
+    g.setdefault("grayscale_to_rgb_image", lambda x: _grayscale_to_rgb_image(jnp.asarray(x)))
+    g.setdefault("permute_channels_image",
+                 lambda x, permutation: _permute_channels_image(jnp.asarray(x), permutation))
+    g.setdefault("permute_channels_video",
+                 lambda x, permutation: _permute_channels_image(jnp.asarray(x), permutation))
+    # size getters per type (reference _meta.py)
+    g.setdefault("get_size_image", lambda x: list(get_size(x)))
+    g.setdefault("get_size_video", lambda x: list(get_size(Video(jnp.asarray(x)))))
+    g.setdefault("get_size_mask", lambda x: list(get_size(Mask(jnp.asarray(x)))))
+    g.setdefault("get_size_bounding_boxes",
+                 lambda x, format=None, canvas_size=None: list(canvas_size))
+    g.setdefault("get_dimensions_image", lambda x: get_dimensions(x))
+    g.setdefault("get_dimensions_video", lambda x: get_dimensions(x))
+    g.setdefault("get_num_channels_image", lambda x: get_num_channels(x))
+    g.setdefault("get_num_channels_video", lambda x: get_num_channels(x))
+    g.setdefault("get_num_frames_video", lambda x: get_num_frames(x))
+
+
+_install_kernel_aliases()
