@@ -31,3 +31,53 @@ def _log_api_usage_once(obj) -> None:
     (torchvision ``utils.py:619``): records first use of each public API."""
     name = f"{getattr(obj, '__module__', '?')}.{getattr(obj, '__qualname__', str(obj))}"
     _API_USAGE_LOG[name] = _API_USAGE_LOG.get(name, 0) + 1
+
+
+# runtime backend selectors (reference ``torchvision/__init__.py:34-86``)
+_image_backend = "native"  # native C++ codecs with PIL fallback
+_video_backend = "mjpeg"   # native MJPEG-AVI / array / frame-dir layer
+
+
+def set_image_backend(backend: str) -> None:
+    """(reference ``set_image_backend``): this build decodes through the
+    native C++ shim with PIL fallback; "PIL" forces the fallback."""
+    global _image_backend
+    if backend not in ("native", "PIL", "accimage"):
+        raise ValueError(f"Invalid backend '{backend}'. Options are 'native', 'PIL' and 'accimage'")
+    if backend == "accimage":
+        raise RuntimeError("accimage is not available on this build")
+    _image_backend = backend
+
+
+def get_image_backend() -> str:
+    return _image_backend
+
+
+def set_video_backend(backend: str) -> None:
+    """(reference ``set_video_backend``): only the native MJPEG layer exists
+    (no pyav/ffmpeg in this runtime — see ``io/video.py``)."""
+    global _video_backend
+    if backend not in ("mjpeg", "pyav", "video_reader", "cuda"):
+        raise ValueError("Invalid video backend '%s'. Options are 'mjpeg', 'pyav', 'video_reader' and 'cuda'" % backend)
+    if backend != "mjpeg":
+        raise RuntimeError(f"video backend {backend!r} requires ffmpeg/NVDEC, not available on this build")
+    _video_backend = backend
+
+
+def get_video_backend() -> str:
+    return _video_backend
+
+
+def _is_tracing() -> bool:
+    """(reference ``_is_tracing``): true inside a jax trace (the analogue of
+    torch.jit tracing)."""
+    import jax.core
+
+    try:
+        return not jax.core.trace_ctx.is_top_level()
+    except AttributeError:  # pragma: no cover - other jax versions
+        return False
+
+
+def disable_beta_transforms_warning() -> None:
+    """No-op (reference kept it as a BC stub after v2 transforms stabilised)."""

@@ -66,3 +66,16 @@ from ._misc import (  # noqa: F401
 )
 from ._registry import register_kernel  # noqa: F401
 from ._transform import Transform  # noqa: F401
+
+
+class InterpolationMode:
+    """Interpolation names (reference ``transforms/functional.py:
+    InterpolationMode`` enum); resize/warp accept these strings directly."""
+
+    NEAREST = "nearest"
+    NEAREST_EXACT = "nearest_exact"
+    BILINEAR = "bilinear"
+    BICUBIC = "bicubic"
+    BOX = "box"
+    HAMMING = "hamming"
+    LANCZOS = "lanczos"

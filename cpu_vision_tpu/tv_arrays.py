@@ -135,3 +135,31 @@ def wrap(data: jax.Array, like: TVArray, **overrides) -> TVArray:
 
 def unwrap(obj) -> jax.Array:
     return obj.data if isinstance(obj, TVArray) else obj
+
+
+class BoundingBoxFormat:
+    """Box coordinate formats (reference ``tv_tensors.BoundingBoxFormat``
+    enum); our string formats are accepted anywhere these constants are."""
+
+    XYXY = "xyxy"
+    XYWH = "xywh"
+    CXCYWH = "cxcywh"
+
+
+TVTensor = TVArray  # reference base-class name (``tv_tensors._tv_tensor``)
+
+
+def set_return_type(return_type: str) -> None:
+    """(reference ``tv_tensors.set_return_type``): controls whether torch ops
+    on TV tensors return the subclass or plain tensors.  JAX arrays are
+    immutable pytree leaves and our wrappers are static dataclasses, so ops
+    always return plain arrays ("Tensor" mode) — the only behavior here;
+    "TVTensor" mode is not representable and raises."""
+    if return_type not in ("Tensor", "TVTensor"):
+        raise ValueError(f"return_type must be 'Tensor' or 'TVTensor', got {return_type!r}")
+    if return_type == "TVTensor":
+        raise NotImplementedError(
+            "jax ops always unwrap to plain arrays; re-wrap with tv_arrays.wrap")
+
+
+__all__ += ["BoundingBoxFormat", "TVTensor", "set_return_type"]

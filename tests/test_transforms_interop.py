@@ -86,3 +86,38 @@ class TestInterop:
 
     def test_to_pure_tensor_alias(self):
         assert T.ToPureTensor is T.ToPureArray
+
+
+class TestPackageSurface:
+    def test_backend_selectors(self):
+        import cpu_vision_tpu as cvt
+
+        assert cvt.get_image_backend() in ("native", "PIL")
+        with pytest.raises(ValueError):
+            cvt.set_image_backend("nope")
+        with pytest.raises(RuntimeError):
+            cvt.set_video_backend("pyav")
+        assert cvt.get_video_backend() == "mjpeg"
+        cvt.disable_beta_transforms_warning()
+
+    def test_is_tracing(self):
+        import jax
+        import cpu_vision_tpu as cvt
+
+        assert cvt._is_tracing() is False
+        seen = []
+        jax.jit(lambda x: (seen.append(cvt._is_tracing()), x)[1])(jnp.ones(()))
+        assert seen == [True]
+
+    def test_interpolation_mode(self):
+        assert T.InterpolationMode.BILINEAR == "bilinear"
+        assert T.InterpolationMode.NEAREST == "nearest"
+
+    def test_tv_tensor_names(self):
+        import cpu_vision_tpu.tv_arrays as tv
+
+        assert tv.TVTensor is tv.TVArray
+        assert tv.BoundingBoxFormat.CXCYWH == "cxcywh"
+        with pytest.raises(ValueError):
+            tv.set_return_type("bogus")
+        tv.set_return_type("Tensor")
