@@ -92,3 +92,27 @@ from .vision_transformer import (  # noqa: F401
     vit_l_32,
 )
 from . import weights_meta as _weights_meta  # noqa: F401  (attaches variant enums)
+
+
+def _export_public_surface():
+    """Make every registered builder and every ``*_Weights`` enum an
+    attribute of this module (reference layout: ``torchvision.models.
+    maskrcnn_resnet50_fpn``, ``torchvision.models.ResNet50_Weights`` are
+    importable names, with task models also under their submodule)."""
+    import sys
+
+    g = globals()
+    from ._api import _MODEL_REGISTRY, WeightsEnum
+
+    for name, builder in _MODEL_REGISTRY.items():
+        g.setdefault(name, builder)
+    for modname, mod in list(sys.modules.items()):
+        if not modname.startswith(__name__):
+            continue
+        for attr, val in list(vars(mod).items()):
+            if (isinstance(val, type) and issubclass(val, WeightsEnum)
+                    and val is not WeightsEnum and attr.endswith("_Weights")):
+                g.setdefault(attr, val)
+
+
+_export_public_surface()

@@ -20,3 +20,17 @@ from .roi_heads import FastRCNNPredictor, RoIHeads, TwoMLPHead  # noqa: F401
 from .rpn import RegionProposalNetwork, RPNHead  # noqa: F401
 from .generalized_rcnn import detect  # noqa: F401
 from .transform import GeneralizedRCNNTransform  # noqa: F401
+
+
+def _export_detection_builders():
+    """Attach the v2/mobilenet variant builders registered from the model
+    modules so ``models.detection.<name>`` mirrors the reference layout."""
+    g = globals()
+    from .._api import _MODEL_REGISTRY
+
+    for name, builder in _MODEL_REGISTRY.items():
+        if any(k in name for k in ("rcnn", "retinanet", "fcos", "ssd")):
+            g.setdefault(name, builder)
+
+
+_export_detection_builders()

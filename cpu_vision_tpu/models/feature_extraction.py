@@ -48,3 +48,30 @@ def create_feature_extractor(model, return_nodes: Sequence[str]) -> Callable:
         return extract_features(model, variables, x, return_nodes, **kwargs)
 
     return fn
+
+
+def get_graph_node_names(model, variables, x, **apply_kwargs):
+    """All capturable module paths (reference ``get_graph_node_names``,
+    ``models/feature_extraction.py:244`` — the FX graph walk collapses to
+    one traced ``apply`` with every intermediate captured).  Returns
+    ``(train_nodes, eval_nodes)``; flax modules trace identically in both
+    modes, so the two lists are equal."""
+    _, state = model.apply(
+        variables, x, capture_intermediates=True, mutable=["intermediates"],
+        **apply_kwargs)
+    names = []
+
+    def walk(tree, prefix=""):
+        for k, v in tree.items():
+            path = f"{prefix}/{k}" if prefix else k
+            if k == "__call__":
+                if prefix:
+                    names.append(prefix)
+            elif isinstance(v, Mapping):
+                walk(v, path)
+
+    walk(state["intermediates"])
+    return names, list(names)
+
+
+__all__.append("get_graph_node_names")

@@ -110,3 +110,35 @@ class TestQuantizedBuilders:
         v = q.init(jax.random.PRNGKey(0), x, train=False)
         qv = q.quantize(v)
         assert param_bytes(qv["params"]) < 0.3 * param_bytes(v["params"])
+
+
+class TestModelsAttributeSurface:
+    def test_every_builder_is_a_models_attribute(self):
+        from cpu_vision_tpu import models
+
+        assert [n for n in models.list_models() if not hasattr(models, n)] == []
+
+    def test_weights_enums_exported(self):
+        from cpu_vision_tpu import models
+
+        for enum in ("ResNet18_Weights", "ResNet50_Weights", "ViT_B_16_Weights"):
+            assert hasattr(models, enum), enum
+
+    def test_detection_subnamespace(self):
+        from cpu_vision_tpu import models
+
+        for n in ("fasterrcnn_resnet50_fpn_v2", "maskrcnn_resnet50_fpn_v2",
+                  "retinanet_resnet50_fpn_v2", "fasterrcnn_mobilenet_v3_large_fpn"):
+            assert hasattr(models.detection, n), n
+
+    def test_get_graph_node_names(self):
+        import jax
+        import jax.numpy as jnp
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.feature_extraction import get_graph_node_names
+
+        m = models.get_model("squeezenet1_0", num_classes=10)
+        x = jnp.zeros((1, 32, 32, 3))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        train_nodes, eval_nodes = get_graph_node_names(m, v, x, train=False)
+        assert train_nodes == eval_nodes and len(train_nodes) > 5
