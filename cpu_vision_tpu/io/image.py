@@ -185,7 +185,69 @@ def _apply_mode(arr: np.ndarray, mode: ImageReadMode) -> np.ndarray:
     raise ValueError(f"unsupported mode {mode}")
 
 
-def decode_image(data: Union[bytes, str], mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
+
+def _exif_orientation(jpeg: bytes) -> int:
+    """EXIF orientation tag (1-8; 0 if absent) from a JPEG's APP1 segment
+    (reference ``csrc/io/image/cpu/exif.h``: same TIFF-IFD walk)."""
+    import struct as _struct
+
+    if len(jpeg) < 4 or jpeg[:2] != b"\xff\xd8":
+        return 0
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            return 0
+        marker = jpeg[pos + 1]
+        (seglen,) = _struct.unpack(">H", jpeg[pos + 2 : pos + 4])
+        if marker == 0xE1 and jpeg[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = pos + 10
+            if jpeg[tiff : tiff + 2] == b"II":
+                endian = "<"
+            elif jpeg[tiff : tiff + 2] == b"MM":
+                endian = ">"
+            else:
+                return 0
+            (ifd_off,) = _struct.unpack(endian + "I", jpeg[tiff + 4 : tiff + 8])
+            ifd = tiff + ifd_off
+            if ifd + 2 > len(jpeg):
+                return 0
+            (count,) = _struct.unpack(endian + "H", jpeg[ifd : ifd + 2])
+            for i in range(count):
+                e = ifd + 2 + 12 * i
+                if e + 12 > len(jpeg):
+                    return 0
+                tag, typ = _struct.unpack(endian + "HH", jpeg[e : e + 4])
+                if tag == 0x0112 and typ == 3:  # orientation, SHORT
+                    (val,) = _struct.unpack(endian + "H", jpeg[e + 8 : e + 10])
+                    return val if 1 <= val <= 8 else 0
+            return 0
+        if marker in (0xDA, 0xD9):  # start-of-scan / EOI: no EXIF coming
+            return 0
+        pos += 2 + seglen
+    return 0
+
+
+def _apply_exif_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Apply EXIF orientation 1-8 (reference ``exif.h`` transform table)."""
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1, :]
+    if orientation == 5:
+        return np.rot90(arr, k=-1)[:, ::-1]
+    if orientation == 6:
+        return np.rot90(arr, k=-1)
+    if orientation == 7:
+        return np.rot90(arr, k=1)[:, ::-1]
+    if orientation == 8:
+        return np.rot90(arr, k=1)
+    return arr
+
+
+def decode_image(data: Union[bytes, str], mode: ImageReadMode = ImageReadMode.UNCHANGED,
+                 apply_exif_orientation: bool = False) -> np.ndarray:
     """Decode JPEG/PNG (magic-byte sniffing) to HWC uint8 (reference
     ``decode_image``, ``io/image.py:284``).  Accepts bytes or a path."""
     if isinstance(data, str):
@@ -196,13 +258,18 @@ def decode_image(data: Union[bytes, str], mode: ImageReadMode = ImageReadMode.UN
         arr = None
     if arr is None:
         arr = _pil_decode(data)
+    if apply_exif_orientation and data[:2] == b"\xff\xd8":
+        arr = np.ascontiguousarray(_apply_exif_orientation(arr, _exif_orientation(data)))
     return _apply_mode(arr, mode)
 
 
-def decode_jpeg(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
+def decode_jpeg(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED,
+                apply_exif_orientation: bool = False) -> np.ndarray:
     arr = _native_decode("cvt_decode_jpeg", data)
     if arr is None:
         arr = _pil_decode(data)
+    if apply_exif_orientation:
+        arr = np.ascontiguousarray(_apply_exif_orientation(arr, _exif_orientation(data)))
     return _apply_mode(arr, mode)
 
 

@@ -172,3 +172,28 @@ class Permute(nn.Module):
 
     def __call__(self, x):
         return jnp.transpose(x, self.dims)
+
+
+class SyncBatchNorm(nn.BatchNorm):
+    """Cross-replica BatchNorm (reference ``torch.nn.SyncBatchNorm`` as
+    enabled by ``references/classification/train.py:251-252``).
+
+    Under ``jit`` over a sharded batch, GSPMD lowers the BN mean/variance
+    reductions to global collectives automatically — every ``nn.BatchNorm``
+    here already IS a SyncBatchNorm when the batch axis is sharded (that is
+    the TPU-native replacement for torch's wrapper; see
+    ``tests/test_sync_batchnorm.py`` for the proof).  The subclass exists to
+    carry the reference name and for explicit ``axis_name`` use under
+    ``shard_map``/``pmap``, where reductions are per-shard unless named.
+    """
+
+
+def convert_sync_batchnorm(module, axis_name=None):
+    """(reference ``SyncBatchNorm.convert_sync_batchnorm``): no module
+    surgery is needed under jit/GSPMD (see :class:`SyncBatchNorm`) — returns
+    the module unchanged.  Only ``shard_map``/``pmap`` code needs per-module
+    ``axis_name`` plumbing, which flax models take at construction."""
+    return module
+
+
+__all__ += ["SyncBatchNorm", "convert_sync_batchnorm"]
