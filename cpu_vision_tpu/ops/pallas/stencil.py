@@ -398,6 +398,48 @@ def fused_blur_sobel(
     return restore(out)
 
 
+def hysteresis_sweeps(
+    cls_f32: jax.Array,
+    sweeps: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """``sweeps`` hysteresis dilation steps in ONE HBM pass.
+
+    ``cls_f32``: (N, H, W) float32 class map (0 = suppressed, 1 = weak,
+    2 = strong).  Each step grows strong into 8-connected weak
+    (``edges.hysteresis`` semantics).  Tiling with ``halo = sweeps`` makes
+    the k-step composition exact across tiles; the outer fixpoint loop
+    re-invokes until unchanged (XLA runs one HBM round-trip *per step*;
+    this runs one per ``sweeps``).
+
+    Reflect padding at image borders is growth-neutral: a chain through
+    mirrored cells maps 1:1 onto its real mirror-image chain (reflection
+    preserves 8-adjacency), so no spurious growth is introduced.  Shifts
+    are ``pltpu.roll`` (circular): wrapped values only ever corrupt the
+    outermost halo ring per step, which is exactly the ring that goes
+    stale anyway.
+    """
+    halo = sweeps
+
+    def compute(tile: jax.Array, th_eff: int, ti=0):
+        wv = tile.shape[1] - 2 * halo
+        rows, cols = tile.shape
+        t = tile
+
+        def roll(x, sh, axis):
+            return pltpu.roll(x, sh % (rows if axis == 0 else cols), axis)
+
+        for _ in range(sweeps):
+            v = jnp.maximum(t, jnp.maximum(roll(t, -1, 0), roll(t, 1, 0)))
+            n = jnp.maximum(v, jnp.maximum(roll(v, -1, 1), roll(v, 1, 1)))
+            t = jnp.where((t == 1.0) & (n == 2.0), 2.0, t)
+        return (t[halo : halo + th_eff, halo : halo + wv],)
+
+    (out,) = _halo_stencil_call(cls_f32, halo, compute, [jnp.float32],
+                                interpret=interpret)
+    return out
+
+
 def canny_stage1(
     maps: jax.Array,
     low_threshold: float,
@@ -530,6 +572,12 @@ def fused_canny(
     # SLOWER on v5e: the per-tile fixpoints serialise through the grid while
     # the global XLA dilation runs the whole (N,H,W) map in parallel per
     # sweep (noise 1080p: 13.2ms vs 6.2ms).  Kept as an option.
+    # NOTE: a k-sweep Pallas fixpoint (``hysteresis_sweeps``) was measured
+    # SLOWER here (4.8 vs 7.5 GPix/s at 1080p batch 8): one 4-sweep pass
+    # costs ~1.5 ms device time — the pltpu.roll lane/sublane relayouts
+    # dominate the light compare/select compute, while the XLA sweeps fuse
+    # their shifted ORs into cheap elementwise passes.  Kept as an option
+    # for direct use; the XLA dilation fixpoint below is the fast path.
     cls = canny_stage1(maps, low_threshold, high_threshold, kernel_size, sigma, interpret=interpret)
     strong = cls == 2
     weak = cls >= 1

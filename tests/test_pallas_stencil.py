@@ -154,3 +154,34 @@ class TestHaloStencilRowFused:
         np.testing.assert_allclose(
             self._run(img, 7, 256), self._oracle(img, 7),
             rtol=1e-6, atol=1e-5)
+
+
+class TestHysteresisSweeps:
+    def test_fixpoint_matches_xla_oracle(self, rng):
+        from cpu_vision_tpu.ops import edges
+        from cpu_vision_tpu.ops.pallas.stencil import canny_stage1, hysteresis_sweeps
+
+        img = rng.random((2, 96, 160), dtype=np.float32)
+        cls = canny_stage1(jnp.asarray(img), 0.1, 0.2, 5, 1.4, interpret=True)
+        oracle = edges.hysteresis(cls == 2, cls >= 1)
+        c = cls.astype(jnp.float32)
+        for _ in range(50):
+            n = hysteresis_sweeps(c, 4, interpret=True)
+            if bool(jnp.all(n == c)):
+                break
+            c = n
+        assert bool(jnp.all((c == 2.0) == oracle))
+
+    def test_odd_shape_fallback_path(self, rng):
+        from cpu_vision_tpu.ops import edges
+        from cpu_vision_tpu.ops.pallas.stencil import canny_stage1, hysteresis_sweeps
+
+        img = rng.random((1, 67, 131), dtype=np.float32)
+        cls = canny_stage1(jnp.asarray(img), 0.08, 0.15, 5, 1.4, interpret=True)
+        c = cls.astype(jnp.float32)
+        for _ in range(80):
+            n = hysteresis_sweeps(c, 3, interpret=True)
+            if bool(jnp.all(n == c)):
+                break
+            c = n
+        assert bool(jnp.all((c == 2.0) == edges.hysteresis(cls == 2, cls >= 1)))
