@@ -59,6 +59,7 @@ from .stereo import (  # noqa: F401
     SintelStereo,
 )
 from .video_utils import RandomClipSampler, UniformClipSampler, VideoClips  # noqa: F401
+from . import samplers  # noqa: F401
 from .voc import VOC_CLASSES, VOCDetection, VOCSegmentation  # noqa: F401
 from .fakedata import FakeData  # noqa: F401
 from .folder import DatasetFolder, ImageFolder  # noqa: F401

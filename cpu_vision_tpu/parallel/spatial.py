@@ -50,7 +50,10 @@ def spatial_map(
     ``fn`` receives a local block with ``halo`` extra rows top and bottom and
     must return the block without halos (shape minus ``2*halo`` rows).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     def sharded(x):
         def local(block):
