@@ -301,15 +301,16 @@ class DataLoader:
             pool = ThreadPoolExecutor(
                 max_workers=self.num_workers, thread_name_prefix="cvt-loader")
             if self.worker_init_fn is not None:
-                ids = iter(range(self.num_workers))
-                lock = threading.Lock()
+                # pin one init to each pool thread: every task blocks on the
+                # barrier until all num_workers tasks occupy distinct threads
+                barrier = threading.Barrier(self.num_workers)
 
-                def init_once(fn=self.worker_init_fn):
-                    with lock:
-                        fn(next(ids))
+                def init_once(worker_id, fn=self.worker_init_fn):
+                    barrier.wait()
+                    fn(worker_id)
 
-                for _ in range(self.num_workers):
-                    pool.submit(init_once)
+                for i in range(self.num_workers):
+                    pool.submit(init_once, i)
             self._pool = pool
         return self._pool
 
@@ -331,8 +332,9 @@ class DataLoader:
                 if in_flight >= depth:
                     break
             while in_flight:
-                out = futures.get().result()
-                in_flight -= 1
+                fut = futures.get()
+                in_flight -= 1  # before .result(): a raise must not desync the drain
+                out = fut.result()
                 nxt = next(it, None)
                 if nxt is not None:
                     futures.put(pool.submit(self._fetch, nxt))

@@ -151,7 +151,8 @@ def _encode_avi(path: str, video: np.ndarray, fps: float, quality: int = 90) -> 
     strh = (
         _fourcc("vids") + _fourcc("MJPG")
         + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0,
-                      1, int(round(fps)),        # dwScale, dwRate
+                      # rational time base preserves NTSC-style rates
+                      1000, int(round(fps * 1000)),  # dwScale, dwRate
                       0, t, max_size, 0, -1)
         + struct.pack("<4H", 0, 0, w, h)         # rcFrame
     )
@@ -180,9 +181,11 @@ def _encode_avi(path: str, video: np.ndarray, fps: float, quality: int = 90) -> 
 def _decode_array_file(path: str) -> Tuple[np.ndarray, float]:
     if path.endswith(".npz"):
         z = np.load(path)
-        video = z[z.files[0]]
+        key = next((k for k in z.files if k != "fps"), None)
+        if key is None:
+            raise RuntimeError(f"no video array in {path}")
         fps = float(z["fps"]) if "fps" in z.files else 30.0
-        return np.asarray(video), fps
+        return np.asarray(z[key]), fps
     return np.asarray(np.load(path)), 30.0
 
 
@@ -227,8 +230,10 @@ def read_video(
     video, fps = _decode_any(filename)
     t = video.shape[0]
     if pts_unit == "sec":
-        start = int(np.floor(float(start_pts) * fps))
-        end = t - 1 if end_pts is None else int(np.ceil(float(end_pts) * fps))
+        # keep only frames whose pts lies WITHIN [start_pts, end_pts]
+        # (reference semantics): ceil the start, floor the end (eps for fp)
+        start = int(np.ceil(float(start_pts) * fps - 1e-9))
+        end = t - 1 if end_pts is None else int(np.floor(float(end_pts) * fps + 1e-9))
     else:
         start = int(start_pts)
         end = t - 1 if end_pts is None else int(end_pts)
@@ -243,13 +248,29 @@ def read_video(
     return video, aframes, {"video_fps": fps}
 
 
+def _probe_any(filename: str) -> Tuple[int, float]:
+    """(frame count, fps) without decoding pixel data (container scan)."""
+    if os.path.isdir(filename):
+        n = sum(1 for f in os.listdir(filename)
+                if f.lower().endswith((".jpg", ".jpeg", ".png", ".webp")))
+        return n, 30.0
+    if filename.endswith(".npy"):
+        return np.load(filename, mmap_mode="r").shape[0], 30.0
+    if filename.endswith(".npz"):
+        return _decode_array_file(filename)[0].shape[0], 30.0
+    with open(filename, "rb") as f:
+        chunks, fps = _parse_avi(f.read())
+    return len(chunks), fps
+
+
 def read_video_timestamps(
     filename: str, pts_unit: str = "pts"
 ) -> Tuple[List[Union[int, float]], Optional[float]]:
     """Frame presentation timestamps + fps (reference
-    ``io/video.py:read_video_timestamps``)."""
-    video, fps = _decode_any(filename)
-    pts: List[Union[int, float]] = list(range(video.shape[0]))
+    ``io/video.py:read_video_timestamps``).  Metadata-only: scans the
+    container chunk list without decoding frames."""
+    t, fps = _probe_any(filename)
+    pts: List[Union[int, float]] = list(range(t))
     if pts_unit == "sec":
         pts = [p / fps for p in pts]
     return pts, fps

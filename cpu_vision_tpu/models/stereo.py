@@ -156,7 +156,8 @@ class RaftStereo(nn.Module):
     def __call__(self, left, right, train: bool = False):
         n, h, w, _ = left.shape
         f = self.downsample
-        fenc = FeatureEncoder(256, base=64 if f == 4 else 64, norm="instance",
+        # both reference variants share the 64-wide BaseEncoder (raft_stereo.py:27)
+        fenc = FeatureEncoder(256, base=64, norm="instance",
                               dtype=self.dtype, name="feature_encoder")
         cenc = FeatureEncoder(self.num_gru_levels * (self.hidden + self.context),
                               norm="none", dtype=self.dtype, name="context_encoder")

@@ -191,6 +191,10 @@ class Conv3dNormActivation(nn.Module):
         if self.norm == "batch":
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)
+        elif self.norm == "layer":
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        elif self.norm is not None:
+            raise ValueError(f"unsupported norm {self.norm!r} (batch/layer/None)")
         if self.activation is not None:
             x = self.activation(x)
         return x

@@ -37,7 +37,7 @@ class TestAvi:
         v, _, _ = cvio.read_video(p, start_pts=1, end_pts=3)
         assert v.shape[0] == 3
         v, _, _ = cvio.read_video(p, start_pts=0.1, end_pts=0.35, pts_unit="sec")
-        assert v.shape[0] == 4  # frames 1..4 at 10 fps
+        assert v.shape[0] == 3  # frames with pts in [0.1, 0.35] at 10 fps: 1..3
         with pytest.raises(ValueError):
             cvio.read_video(p, start_pts=3, end_pts=1)
 
@@ -111,3 +111,47 @@ class TestNamespaceParity:
             cvio._read_video_from_memory(b"")
         with pytest.raises(RuntimeError, match="libheif"):
             cvio.decode_heic(b"")
+
+
+class TestReviewFixes:
+    def test_loader_fetch_error_propagates_not_deadlocks(self):
+        from cpu_vision_tpu.datasets import DataLoader
+
+        class Bad:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i == 3:
+                    raise RuntimeError("corrupt sample")
+                return np.zeros((2, 2)), i
+
+        dl = DataLoader(Bad(), batch_size=2, num_workers=2)
+        with pytest.raises(RuntimeError, match="corrupt"):
+            list(dl)
+        # loader remains usable afterwards (pool drained cleanly)
+        dl2 = DataLoader(Bad(), batch_size=2, num_workers=2)
+        it = iter(dl2)
+        next(it)  # first batch (indices 0,1) is fine
+
+    def test_npz_fps_first_key(self, tmp_path, video):
+        p = str(tmp_path / "v.npz")
+        np.savez(p, fps=25.0, video=video)
+        out, _, info = cvio.read_video(p)
+        np.testing.assert_array_equal(out, video)
+        assert info["video_fps"] == pytest.approx(25.0)
+
+    def test_fractional_fps_roundtrip(self, tmp_path, video):
+        p = str(tmp_path / "v.avi")
+        cvio.write_video(p, video, fps=23.976)
+        _, fps = cvio.read_video_timestamps(p)
+        assert fps == pytest.approx(23.976, abs=1e-3)
+
+    def test_sec_bounds_within_interval(self, tmp_path, video):
+        p = str(tmp_path / "v.avi")
+        cvio.write_video(p, video, fps=10.0)
+        # 0.55 lies between frames 5 (pts 0.5) and 6 (pts 0.6): empty range
+        with pytest.raises(ValueError):
+            cvio.read_video(p, start_pts=0.55, end_pts=0.55, pts_unit="sec")
+        v, _, _ = cvio.read_video(p, start_pts=0.2, end_pts=0.4, pts_unit="sec")
+        assert v.shape[0] == 3  # pts 0.2, 0.3, 0.4
