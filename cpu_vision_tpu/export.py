@@ -20,14 +20,20 @@ __all__ = ["export_model", "save", "load_exported", "call_exported", "stablehlo_
 
 
 def _fn_of(model, train: bool, method: Optional[str]) -> Callable:
+    import inspect
+
+    takes_train = False
+    try:
+        takes_train = "train" in inspect.signature(model.__call__).parameters
+    except (TypeError, ValueError):  # pragma: no cover - exotic callables
+        pass
+
     def fn(variables, x):
-        apply = model.apply
         if method is not None:
-            return apply(variables, x, method=method)
-        try:
-            return apply(variables, x, train=train)
-        except TypeError:  # models without a train flag
-            return apply(variables, x)
+            return model.apply(variables, x, method=method)
+        if takes_train:
+            return model.apply(variables, x, train=train)
+        return model.apply(variables, x)
 
     return fn
 

@@ -163,25 +163,32 @@ def _apply_mode(arr: np.ndarray, mode: ImageReadMode) -> np.ndarray:
     if mode == ImageReadMode.GRAY:
         if c == 1:
             return arr
+        if c == 2:  # gray + alpha
+            return arr[:, :, :1]
         rgb = arr[:, :, :3].astype(np.float32)
         gray = 0.2989 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
         return np.round(gray).astype(np.uint8)[:, :, None]
     if mode == ImageReadMode.RGB:
         if c == 3:
             return arr
-        if c == 1:
-            return np.repeat(arr, 3, axis=2)
+        if c in (1, 2):  # gray / gray+alpha
+            return np.repeat(arr[:, :, :1], 3, axis=2)
         return arr[:, :, :3]
     if mode == ImageReadMode.RGB_ALPHA:
         if c == 4:
             return arr
         rgb = _apply_mode(arr, ImageReadMode.RGB)
+        if c == 2:  # carry the existing alpha channel
+            return np.concatenate([rgb, arr[:, :, 1:2]], axis=2)
         alpha = np.full(rgb.shape[:2] + (1,), 255, np.uint8)
         return np.concatenate([rgb, alpha], axis=2)
     if mode == ImageReadMode.GRAY_ALPHA:
+        if c == 2:
+            return arr
         gray = _apply_mode(arr, ImageReadMode.GRAY)
-        alpha = np.full(gray.shape[:2] + (1,), 255, np.uint8)
-        return np.concatenate([gray, alpha], axis=2) if gray.shape[2] == 1 else gray
+        alpha = (arr[:, :, 3:4] if c == 4
+                 else np.full(gray.shape[:2] + (1,), 255, np.uint8))
+        return np.concatenate([gray, alpha], axis=2)
     raise ValueError(f"unsupported mode {mode}")
 
 

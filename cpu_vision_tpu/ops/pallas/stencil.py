@@ -95,7 +95,10 @@ def _halo_stencil_call(
     # middle tile must not hit the h - slab clamp or its static in-slab
     # offset would be wrong
     mid_ok = n_tiles <= 2 or (n_tiles - 2) * th - 8 <= h - slab
-    fuse_rows = (h % 8 == 0) and (h >= slab) and (halo < 8) and (n_tiles >= 2) and mid_ok
+    # th % 8 == 0 is load-bearing: slab_start's pl.multiple_of(…, 8) assert
+    # and the static off_mid arithmetic assume 8-aligned tile starts
+    fuse_rows = (h % 8 == 0) and (th % 8 == 0) and (h >= slab) and (halo < 8) \
+        and (n_tiles >= 2) and mid_ok
     if fuse_rows:
         return _halo_stencil_call_rowfused(
             maps_nhw, halo, compute, out_dtypes, th, wp, interpret)

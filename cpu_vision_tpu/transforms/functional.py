@@ -233,8 +233,6 @@ crop = _typed(_crop_image, _crop_bboxes, _crop_mask)
 
 
 def _center_crop_dims(h, w, ch, cw):
-    top = (h - ch) // 2 if ch <= h else -((ch - h) // 2)
-    left = (w - cw) // 2 if cw <= w else -((cw - w) // 2)
     # reference: crop_top = int(round((image_height - crop_height) / 2.0))
     top = int(round((h - ch) / 2.0))
     left = int(round((w - cw) / 2.0))
@@ -473,7 +471,12 @@ def _to_dtype_image(img, dtype, scale=False):
     return _to_dtype_arr(img, dtype, scale)
 
 
-to_dtype = _typed(_to_dtype_image)
+def _to_dtype_mask(m: Mask, dtype, scale=False):
+    # reference to_dtype converts mask dtype WITHOUT value scaling
+    return Mask(m.data.astype(dtype))
+
+
+to_dtype = _typed(_to_dtype_image, mask_kernel=_to_dtype_mask)
 
 
 def _erase_image(img, i, j, h, w, v):
@@ -678,12 +681,6 @@ def _permute_channels_image(img, permutation):
 
 
 permute_channels = _typed(_permute_channels_image)
-
-
-def _uniform_temporal_subsample_video(v: Video, num_samples: int):
-    t = v.data.shape[0]
-    idx = jnp.linspace(0, t - 1, num_samples).round().astype(jnp.int32)
-    return Video(jnp.take(v.data, idx, axis=0))
 
 
 def uniform_temporal_subsample(inpt, num_samples: int):

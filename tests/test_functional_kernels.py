@@ -136,3 +136,24 @@ class TestRemainingFunctionals:
         from PIL import Image as PILImage
 
         assert isinstance(F.to_pil_image(img), PILImage.Image)
+
+
+class TestToDtypeMask:
+    def test_mask_dtype_converts_without_scaling(self):
+        from cpu_vision_tpu.tv_arrays import Mask
+
+        m = Mask(jnp.asarray([[1.0, 2.0], [3.0, 0.0]], jnp.float32))
+        out = F.to_dtype(m, jnp.uint8)
+        assert isinstance(out, Mask) and out.data.dtype == jnp.uint8
+        np.testing.assert_array_equal(np.asarray(out.data), [[1, 2], [3, 0]])
+
+    def test_dict_todtype_converts_mask(self):
+        from cpu_vision_tpu import transforms as T
+        from cpu_vision_tpu.tv_arrays import Image, Mask
+
+        t = T.ToDtype({Image: jnp.float32, Mask: jnp.int32})
+        sample = {"image": Image(jnp.zeros((4, 4, 3), jnp.uint8)),
+                  "mask": Mask(jnp.ones((4, 4), jnp.uint8))}
+        out = t(sample)
+        assert out["image"].data.dtype == jnp.float32
+        assert out["mask"].data.dtype == jnp.int32

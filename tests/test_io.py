@@ -176,3 +176,27 @@ class TestGIF:
 
         with pytest.raises(ValueError):
             decode_gif(b"GIF89a" + b"\x00" * 8)
+
+
+class TestGrayAlphaModes:
+    def test_la_png_all_modes(self, tmp_path):
+        import io as _io
+
+        from PIL import Image as PILImage
+
+        from cpu_vision_tpu.io import ImageReadMode, decode_image
+
+        la = np.zeros((6, 8, 2), np.uint8)
+        la[..., 0] = 120
+        la[..., 1] = 200
+        buf = _io.BytesIO()
+        PILImage.fromarray(la, mode="LA").save(buf, "PNG")
+        data = buf.getvalue()
+        g = decode_image(data, ImageReadMode.GRAY)
+        assert g.shape == (6, 8, 1) and g[0, 0, 0] == 120
+        rgb = decode_image(data, ImageReadMode.RGB)
+        assert rgb.shape == (6, 8, 3) and (rgb == 120).all()
+        rgba = decode_image(data, ImageReadMode.RGB_ALPHA)
+        assert rgba.shape == (6, 8, 4) and rgba[0, 0, 3] == 200
+        ga = decode_image(data, ImageReadMode.GRAY_ALPHA)
+        assert ga.shape == (6, 8, 2) and ga[0, 0, 1] == 200
