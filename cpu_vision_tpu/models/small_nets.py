@@ -53,9 +53,11 @@ class MNASNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = lambda c: _round_to_multiple_of(c * self.alpha)  # noqa: E731
-        x = ConvNormActivation(32, 3, 2, dtype=self.dtype)(x, train)
-        x = ConvNormActivation(32, 3, groups=32, dtype=self.dtype)(x, train)
-        x = ConvNormActivation(16, 1, activation=None, dtype=self.dtype)(x, train)
+        # the stem scales with alpha too (reference ``_get_depths``: the
+        # 32/16 stem widths are part of the scaled depth list)
+        x = ConvNormActivation(d(32), 3, 2, dtype=self.dtype)(x, train)
+        x = ConvNormActivation(d(32), 3, groups=d(32), dtype=self.dtype)(x, train)
+        x = ConvNormActivation(d(16), 1, activation=None, dtype=self.dtype)(x, train)
         # (expansion, channels, repeats, stride, kernel)
         for t, c, n, s, k in [(3, 24, 3, 2, 3), (3, 40, 3, 2, 5), (6, 80, 3, 2, 5),
                               (6, 96, 2, 1, 3), (6, 192, 4, 2, 5), (6, 320, 1, 1, 3)]:

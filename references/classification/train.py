@@ -120,7 +120,14 @@ def main(argv=None):
             one_hot = jax.nn.one_hot(labels, args.num_classes)
             if args.label_smoothing:
                 one_hot = optax.smooth_labels(one_hot, args.label_smoothing)
-            loss = optax.softmax_cross_entropy(out, one_hot).mean()
+            if isinstance(out, tuple):  # googlenet/inception aux heads
+                main, *aux = out
+                loss = optax.softmax_cross_entropy(main, one_hot).mean()
+                for a in aux:  # 0.3 aux weight (Szegedy et al., reference recipe)
+                    loss = loss + 0.3 * optax.softmax_cross_entropy(a, one_hot).mean()
+                out = main
+            else:
+                loss = optax.softmax_cross_entropy(out, one_hot).mean()
             return loss, (out, mut["batch_stats"])
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

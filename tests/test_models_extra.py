@@ -9,7 +9,7 @@ import pytest
 from cpu_vision_tpu import models
 
 REF_NUM_PARAMS = {
-    "googlenet": 6_624_904,
+    "googlenet": 13_004_888,  # incl. the two aux heads (reference default)
     "mnasnet1_0": 4_383_312,
     "shufflenet_v2_x1_0": 2_278_604,
     "swin_t": 28_288_354,
