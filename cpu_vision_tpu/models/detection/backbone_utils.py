@@ -13,16 +13,32 @@ __all__ = ["FeaturePyramidNetwork", "LastLevelMaxPool", "LastLevelP6P7", "Backbo
 
 class FeaturePyramidNetwork(nn.Module):
     """Top-down pyramid with lateral 1x1s and output 3x3s (reference
-    ``FeaturePyramidNetwork``, ``ops/feature_pyramid_network.py:36``)."""
+    ``FeaturePyramidNetwork``, ``ops/feature_pyramid_network.py:36``).
+
+    ``norm="batch"`` puts BatchNorm after every conv and drops the conv
+    biases (the reference's ``norm_layer=nn.BatchNorm2d`` v2-recipe FPN)."""
 
     out_channels: int = 256
+    norm: str | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, features: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    def __call__(self, features: Dict[str, jnp.ndarray],
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        use_bias = self.norm is None
+
+        def maybe_norm(x, name):
+            if self.norm == "batch":
+                x = nn.BatchNorm(use_running_average=not train,
+                                 dtype=self.dtype, name=name)(x)
+            return x
+
         names = sorted(features.keys())  # layer1..layer4 ascending depth
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name=f"inner_{n}")(features[n])
+            maybe_norm(
+                nn.Conv(self.out_channels, (1, 1), use_bias=use_bias,
+                        dtype=self.dtype, name=f"inner_{n}")(features[n]),
+                f"inner_bn_{n}")
             for n in names
         ]
         # top-down: upsample by 2 (nearest) and add
@@ -36,8 +52,10 @@ class FeaturePyramidNetwork(nn.Module):
             last = target + up
             results[i] = last
         outs = {
-            n: nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                       dtype=self.dtype, name=f"layer_{n}")(r)
+            n: maybe_norm(
+                nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=use_bias, dtype=self.dtype, name=f"layer_{n}")(r),
+                f"layer_bn_{n}")
             for n, r in zip(names, results)
         }
         return outs
@@ -74,7 +92,9 @@ class BackboneWithFPN(nn.Module):
     backbone: nn.Module
     out_channels: int = 256
     extra_p6p7: bool = False
+    p6p7_source: str = "p5"  # "p5" (retinanet v1 / fcos) | "c5" (retinanet v2)
     extra_pool: bool = False
+    fpn_norm: str | None = None  # "batch" = v2-recipe FPN
     returned_layers: Sequence[str] = ("layer2", "layer3", "layer4")
     dtype: Any = jnp.float32
 
@@ -82,10 +102,14 @@ class BackboneWithFPN(nn.Module):
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
         feats = self.backbone(x, train=train, features_only=True)
         used = {k: feats[k] for k in self.returned_layers}
-        fpn = FeaturePyramidNetwork(self.out_channels, dtype=self.dtype)(used)
+        fpn = FeaturePyramidNetwork(self.out_channels, norm=self.fpn_norm,
+                                    dtype=self.dtype)(used, train)
         outs = [fpn[k] for k in sorted(self.returned_layers)]
         if self.extra_p6p7:
-            p6, p7 = LastLevelP6P7(self.out_channels, dtype=self.dtype)(feats["layer4"])
+            # reference LastLevelP6P7.use_P5: P5 when in==out channels,
+            # else C5 (``ops/feature_pyramid_network.py:224-238``)
+            src = outs[-1] if self.p6p7_source == "p5" else feats["layer4"]
+            p6, p7 = LastLevelP6P7(self.out_channels, dtype=self.dtype)(src)
             outs += [p6, p7]
         elif self.extra_pool:
             outs.append(LastLevelMaxPool()(outs[-1]))

@@ -83,6 +83,9 @@ class FasterRCNN(nn.Module):
                 out_channels=256,
                 extra_pool=True,
                 returned_layers=("layer1", "layer2", "layer3", "layer4"),
+                # v2 recipe FPN carries BatchNorm (reference
+                # _resnet_fpn_extractor(..., norm_layer=nn.BatchNorm2d))
+                fpn_norm="batch" if self.variant == "v2" else None,
                 dtype=self.dtype,
             )
             anchor_sizes = ((32,), (64,), (128,), (256,), (512,))

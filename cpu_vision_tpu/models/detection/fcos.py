@@ -33,10 +33,18 @@ class FCOSHead(nn.Module):
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
+        # reference towers: plain Conv2d (bias kept) + GroupNorm(32) + relu
+        # (fcos.py:167-172, 227-232)
         cls_tower = [nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                             dtype=self.dtype, name=f"cls_conv{i}") for i in range(self.num_convs)]
+                             dtype=self.dtype,
+                             name=f"cls_conv{i}") for i in range(self.num_convs)]
         reg_tower = [nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                             dtype=self.dtype, name=f"reg_conv{i}") for i in range(self.num_convs)]
+                             dtype=self.dtype,
+                             name=f"reg_conv{i}") for i in range(self.num_convs)]
+        cls_norms = [nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"cls_gn{i}")
+                     for i in range(self.num_convs)]
+        reg_norms = [nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"reg_gn{i}")
+                     for i in range(self.num_convs)]
         bias_init = nn.initializers.constant(-math.log((1 - 0.01) / 0.01))
         cls_logits = nn.Conv(self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
                              bias_init=bias_init, dtype=self.dtype, name="cls_logits")
@@ -45,13 +53,13 @@ class FCOSHead(nn.Module):
         all_cls, all_reg, all_ctr = [], [], []
         for f in features:
             c = f
-            for conv in cls_tower:
-                c = nn.relu(conv(c))
+            for conv, gn in zip(cls_tower, cls_norms):
+                c = nn.relu(gn(conv(c)))
             n, h, w, _ = f.shape
             all_cls.append(cls_logits(c).reshape(n, h * w, self.num_classes))
             r = f
-            for conv in reg_tower:
-                r = nn.relu(conv(r))
+            for conv, gn in zip(reg_tower, reg_norms):
+                r = nn.relu(gn(conv(r)))
             all_reg.append(nn.relu(bbox_reg(r)).reshape(n, h * w, 4))
             all_ctr.append(ctrness(r).reshape(n, h * w))
         return (

@@ -40,10 +40,13 @@ class RetinaNetHead(nn.Module):
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        use_bias = self.norm is None  # v2 towers: GN replaces the conv bias
         cls_tower = [nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                             dtype=self.dtype, name=f"cls_conv{i}") for i in range(4)]
+                             use_bias=use_bias, dtype=self.dtype,
+                             name=f"cls_conv{i}") for i in range(4)]
         reg_tower = [nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                             dtype=self.dtype, name=f"reg_conv{i}") for i in range(4)]
+                             use_bias=use_bias, dtype=self.dtype,
+                             name=f"reg_conv{i}") for i in range(4)]
         cls_norms = [nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"cls_gn{i}")
                      for i in range(4)] if self.norm == "group" else None
         reg_norms = [nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"reg_gn{i}")
@@ -99,6 +102,8 @@ class RetinaNet(nn.Module):
             ResNet(Bottleneck, (3, 4, 6, 3), dtype=self.dtype),
             out_channels=256,
             extra_p6p7=True,
+            # reference: v1 LastLevelP6P7(256, 256) rides P5; v2 (2048, 256) C5
+            p6p7_source="p5" if self.variant == "v1" else "c5",
             dtype=self.dtype,
         )
         num_anchors = len(self.anchor_sizes[0]) * len(self.aspect_ratios[0])

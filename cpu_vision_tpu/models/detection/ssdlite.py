@@ -42,16 +42,33 @@ class SSDLite(nn.Module):
     nms_thresh: float = 0.55
     max_detections: int = 300
     topk_candidates: int = 300
+    # reference: reduce_tail = weights_backbone is None (ssdlite.py:282) —
+    # the from-scratch config halves the last three blocks' channels; pass
+    # False to match the published-checkpoint architecture
+    reduced_tail: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images, train: bool = False):
+        div = 2 if self.reduced_tail else 1
+        # reference reduce: block 12 keeps its 672 expand but halves its out;
+        # blocks 13-14 halve both (mobilenetv3.py:240-247)
+        cfg = [
+            (k, exp // (div if i > 12 else 1), out_c // div, se, hs, s)
+            if i >= 12 else (k, exp, out_c, se, hs, s)
+            for i, (k, exp, out_c, se, hs, s) in enumerate(_V3_LARGE)
+        ]
         x = ConvNormActivation(16, 3, 2, activation=hardswish, dtype=self.dtype)(images, train)
         feats: List[jnp.ndarray] = []
-        for i, (k, exp, out_c, se, hs, s) in enumerate(_V3_LARGE):
-            if i == 12:  # C4: expand conv of the first stride-2 block of the tail
-                feats.append(ConvNormActivation(exp, 1, activation=hardswish, dtype=self.dtype)(x, train))
-            x = V3Block(out_c, k, exp, se, hs, s, dtype=self.dtype)(x, train)
+        for i, (k, exp, out_c, se, hs, s) in enumerate(cfg):
+            if i == 12:
+                # C4 = the expand conv INSIDE block 12 (the reference splits
+                # the backbone at that layer and reuses it, ssdlite.py:129)
+                x, expanded = V3Block(out_c, k, exp, se, hs, s, dtype=self.dtype)(
+                    x, train, return_expanded=True)
+                feats.append(expanded)
+            else:
+                x = V3Block(out_c, k, exp, se, hs, s, dtype=self.dtype)(x, train)
         x = ConvNormActivation(6 * x.shape[-1], 1, activation=hardswish, dtype=self.dtype)(x, train)
         feats.append(x)  # C5
         for c_mid, c_out in [(256, 512), (128, 256), (128, 256), (64, 128)]:

@@ -99,7 +99,7 @@ class V3Block(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_expanded: bool = False):
         act = hardswish if self.use_hs else nn.relu
         inp = x.shape[-1]
         strides = 1 if self.dilation > 1 else self.strides
@@ -107,6 +107,7 @@ class V3Block(nn.Module):
         out = x
         if self.expanded != inp:
             out = ConvNormActivation(self.expanded, 1, activation=act, dtype=self.dtype)(out, train)
+        expanded = out  # C4 tap for detection (reference splits the block here)
         out = ConvNormActivation(self.expanded, self.kernel, strides,
                                  groups=self.expanded, dilation=self.dilation,
                                  activation=act, dtype=self.dtype)(out, train)
@@ -116,7 +117,8 @@ class V3Block(nn.Module):
             out = SqueezeExcitation(_make_divisible(self.expanded // 4),
                                     scale_activation=hardsigmoid, dtype=self.dtype)(out)
         out = ConvNormActivation(self.features, 1, activation=None, dtype=self.dtype)(out, train)
-        return x + out if use_res else out
+        out = x + out if use_res else out
+        return (out, expanded) if return_expanded else out
 
 
 # (kernel, expanded, out, use_se, use_hs, stride) — reference _mobilenet_v3_conf

@@ -28,16 +28,23 @@ def _conv3d(features, kernel, strides=1, dtype=jnp.float32, name=None):
 
 
 class Conv2Plus1D(nn.Module):
-    """Factored (1,3,3)+(3,1,1) conv (reference ``video/resnet.py:Conv2Plus1D``)."""
+    """Factored (1,3,3)+(3,1,1) conv (reference ``video/resnet.py:Conv2Plus1D``).
+
+    ``midplanes`` is computed ONCE per block from the BLOCK's (in, out)
+    channels and shared by both convs (reference ``BasicBlock.__init__``,
+    ``video/resnet.py:98``) — not recomputed per conv."""
 
     features: int
+    midplanes: Optional[int] = None
     strides: Tuple[int, int, int] = (1, 1, 1)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_c = x.shape[-1]
-        mid = (3 * 3 * 3 * in_c * self.features) // (3 * 3 * in_c + 3 * self.features)
+        mid = self.midplanes
+        if mid is None:
+            mid = (3 * 3 * 3 * in_c * self.features) // (3 * 3 * in_c + 3 * self.features)
         st, sh, sw = self.strides
         x = nn.Conv(mid, (1, 3, 3), (1, sh, sw), padding=[(0, 0), (1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype)(x)
@@ -54,9 +61,9 @@ class VideoBasicBlock(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
 
-    def _conv(self, x, features, strides, train):
+    def _conv(self, x, features, strides, train, midplanes=None):
         if self.conv_type == "2plus1d":
-            return Conv2Plus1D(features, strides, self.dtype)(x, train)
+            return Conv2Plus1D(features, midplanes, strides, self.dtype)(x, train)
         if self.conv_type == "2d":
             return nn.Conv(features, (1, 3, 3), (1, strides[1], strides[2]),
                            padding=[(0, 0), (1, 1), (1, 1)], use_bias=False, dtype=self.dtype)(x)
@@ -68,10 +75,13 @@ class VideoBasicBlock(nn.Module):
         # Conv3DNoTemporal uses stride (1, s, s) (video/resnet.py:Conv3DNoTemporal)
         strides = (1, self.strides[1], self.strides[2]) if self.conv_type == "2d" else self.strides
         identity = x
-        out = self._conv(x, self.features, strides, train)
+        # block-level midplanes shared by both convs (reference resnet.py:98)
+        inp, p = x.shape[-1], self.features
+        mid = (inp * p * 3 * 3 * 3) // (inp * 3 * 3 + 3 * p)
+        out = self._conv(x, self.features, strides, train, mid)
         out = _bn(train, self.dtype)(out)
         out = nn.relu(out)
-        out = self._conv(out, self.features, (1, 1, 1), train)
+        out = self._conv(out, self.features, (1, 1, 1), train, mid)
         out = _bn(train, self.dtype)(out)
         if self.downsample:
             identity = nn.Conv(self.features, (1, 1, 1), strides, use_bias=False,
@@ -116,37 +126,60 @@ class VideoResNet(nn.Module):
 
 
 class S3D(nn.Module):
-    """Separable 3D CNN (reference ``video/s3d.py``), reduced faithful form:
-    separable (1,k,k)+(k,1,1) conv blocks in an Inception-like layout."""
+    """Separable 3D CNN (reference ``video/s3d.py:S3D``): the exact
+    GoogLeNet-style layout — temporal-separable convs in the stem and in
+    the two 3x3 branches of every SepInceptionBlock3D."""
 
     num_classes: int = 400
+    dropout: float = 0.2
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        def sep(x, c, strides=(1, 1, 1)):
-            x = nn.Conv(c, (1, 3, 3), (1, strides[1], strides[2]),
-                        padding=[(0, 0), (1, 1), (1, 1)], use_bias=False, dtype=self.dtype)(x)
-            x = _bn(train, self.dtype)(x)
-            x = nn.relu(x)
-            x = nn.Conv(c, (3, 1, 1), (strides[0], 1, 1),
-                        padding=[(1, 1), (0, 0), (0, 0)], use_bias=False, dtype=self.dtype)(x)
+        def cna(x, c, k=(1, 1, 1), s=(1, 1, 1), p=None):
+            if p is None:
+                p = [((ki - 1) // 2,) * 2 for ki in k]
+            x = nn.Conv(c, k, s, padding=p, use_bias=False, dtype=self.dtype)(x)
             x = _bn(train, self.dtype)(x)
             return nn.relu(x)
 
-        x = sep(x, 64, (1, 2, 2))
-        x = nn.max_pool(x, (1, 3, 3), (1, 2, 2), padding=[(0, 0), (1, 1), (1, 1)])
-        x = nn.relu(_bn(train, self.dtype)(nn.Conv(64, (1, 1, 1), use_bias=False, dtype=self.dtype)(x)))
+        def sep(x, c, k=3, s=1):
+            # reference TemporalSeparableConv (s3d.py:22-50)
+            x = cna(x, c, (1, k, k), (1, s, s))
+            return cna(x, c, (k, 1, 1), (s, 1, 1))
+
+        def inception(x, b0, b1m, b1, b2m, b2, b3):
+            # reference SepInceptionBlock3D (s3d.py:53-90)
+            x0 = cna(x, b0)
+            x1 = sep(cna(x, b1m), b1)
+            x2 = sep(cna(x, b2m), b2)
+            x3 = nn.max_pool(x, (3, 3, 3), (1, 1, 1),
+                             padding=[(1, 1)] * 3)
+            x3 = cna(x3, b3)
+            return jnp.concatenate([x0, x1, x2, x3], axis=-1)
+
+        mp = lambda x, k, s, p: nn.max_pool(x, k, s, padding=p)  # noqa: E731
+        x = sep(x, 64, 7, 2)
+        x = mp(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)])
+        x = cna(x, 64)
         x = sep(x, 192)
-        x = nn.max_pool(x, (1, 3, 3), (1, 2, 2), padding=[(0, 0), (1, 1), (1, 1)])
-        x = sep(x, 256, (2, 2, 2))
-        x = sep(x, 480)
-        x = nn.max_pool(x, (2, 2, 2), (2, 2, 2))
-        x = sep(x, 512)
-        x = sep(x, 832, (2, 2, 2))
-        x = sep(x, 1024)
-        x = jnp.mean(x, axis=(1, 2, 3))
-        return nn.Dense(self.num_classes, dtype=self.dtype)(x)
+        x = mp(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)])
+        x = inception(x, 64, 96, 128, 16, 32, 32)
+        x = inception(x, 128, 128, 192, 32, 96, 64)
+        x = mp(x, (3, 3, 3), (2, 2, 2), [(1, 1)] * 3)
+        x = inception(x, 192, 96, 208, 16, 48, 64)
+        x = inception(x, 160, 112, 224, 24, 64, 64)
+        x = inception(x, 128, 128, 256, 24, 64, 64)
+        x = inception(x, 112, 144, 288, 32, 64, 64)
+        x = inception(x, 256, 160, 320, 32, 128, 128)
+        x = mp(x, (2, 2, 2), (2, 2, 2), [(0, 0)] * 3)
+        x = inception(x, 256, 160, 320, 32, 128, 128)
+        x = inception(x, 384, 192, 384, 48, 128, 128)
+        # avgpool (2,7,7) + dropout + 1x1x1 conv classifier + time-mean
+        x = jnp.mean(x, axis=(1, 2, 3), keepdims=True)[:, 0]
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(x)
+        return x[:, 0, 0, :]
 
 
 @register_model("r3d_18")

@@ -108,3 +108,55 @@ def test_param_count_matches_reference(name, ref_params, size):
     v = jax.eval_shape(init)
     ours = sum(int(a.size) for a in jax.tree.leaves(v["params"]))
     assert ours == ref_params
+
+
+# detection / segmentation / video — verified against the reference source
+# the same way (shape key: input (H, W) or (T, H, W))
+VERIFIED_TASK = [
+    ("fasterrcnn_resnet50_fpn", 41808406),
+    ("fasterrcnn_resnet50_fpn_v2", 43712278),
+    ("fasterrcnn_mobilenet_v3_large_fpn", 19410754),
+    ("fasterrcnn_mobilenet_v3_large_320_fpn", 19410754),
+    ("maskrcnn_resnet50_fpn", 44454513),
+    ("maskrcnn_resnet50_fpn_v2", 46359409),
+    ("keypointrcnn_resnet50_fpn", 59190378),
+    ("retinanet_resnet50_fpn", 34068119),
+    ("retinanet_resnet50_fpn_v2", 38198935),
+    ("fcos_resnet50_fpn", 32322720),
+    ("ssd300_vgg16", 35641826),
+    ("ssdlite320_mobilenet_v3_large", 3440060),
+    ("fcn_resnet50", 32957013),
+    ("fcn_resnet101", 51949141),
+    ("deeplabv3_resnet50", 39638869),
+    ("deeplabv3_resnet101", 58630997),
+    ("deeplabv3_mobilenet_v3_large", 11025477),
+    ("lraspp_mobilenet_v3_large", 3221538),
+    ("r3d_18", 33371472),
+    ("mc3_18", 11695440),
+    ("r2plus1d_18", 31505325),
+    ("s3d", 8320048),
+    ("mvit_v1_b", 36610672),
+    ("mvit_v2_s", 34537744),
+    ("swin3d_t", 28158070),
+    ("swin3d_s", 49816678),
+    ("swin3d_b", 88048984),
+]
+
+
+@pytest.mark.parametrize("name,ref_params", VERIFIED_TASK,
+                         ids=[v[0] for v in VERIFIED_TASK])
+def test_task_model_param_count_matches_reference(name, ref_params):
+    m = models.get_model(name)
+    if any(k in name for k in ("r3d", "mc3", "r2plus1d", "swin3d")):
+        x = jnp.zeros((1, 8, 64, 64, 3))
+    elif "s3d" in name:
+        x = jnp.zeros((1, 16, 64, 64, 3))
+    elif "mvit" in name:
+        x = jnp.zeros((1, 16, 224, 224, 3))
+    elif "ssdlite" in name:
+        x = jnp.zeros((1, 320, 320, 3))
+    else:
+        x = jnp.zeros((1, 128, 128, 3))
+    v = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), x, train=False))
+    ours = sum(int(a.size) for a in jax.tree.leaves(v["params"]))
+    assert ours == ref_params
