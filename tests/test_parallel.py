@@ -83,7 +83,10 @@ class TestSpatial:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
     def test_halo_exchange_shapes(self):
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
 
         mesh = parallel.create_mesh((8,), axis_names=("data",))
 
