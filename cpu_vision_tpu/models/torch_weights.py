@@ -318,3 +318,68 @@ def swin3d_from_torch(state_dict: Mapping, depths: Tuple[int, ...] = (2, 2, 6, 2
     params["LayerNorm_1"] = _ln(sd, "norm")
     params["head"] = _dense(sd, "head")
     return {"params": params}
+
+
+def _cna(sd: Mapping, conv_prefix: str, bn_prefix: str) -> Tuple[Dict, Dict]:
+    """torch BasicConv2d (conv + bn) -> our ConvNormActivation subtree."""
+    bn_p, bn_s = _bn(sd, bn_prefix)
+    p = {"Conv_0": {"kernel": convert_conv(sd[f"{conv_prefix}.weight"])},
+         "BatchNorm_0": bn_p}
+    s = {"BatchNorm_0": bn_s}
+    return p, s
+
+
+def googlenet_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision GoogLeNet state_dict -> our variables (reference
+    ``googlenet.py``: conv1-3, inception3a..5b, aux1/aux2, fc).  Branch
+    order maps to call order: branch1 -> CNA_0, branch2.{0,1} -> CNA_{1,2},
+    branch3.{0,1} -> CNA_{3,4}, branch4.1 -> CNA_5."""
+    sd = state_dict
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(name, p, s):
+        params[name] = p
+        stats[name] = s
+
+    for i, stem in enumerate(("conv1", "conv2", "conv3")):
+        p, s = _cna(sd, f"{stem}.conv", f"{stem}.bn")
+        put(f"ConvNormActivation_{i}", p, s)
+
+    blocks = ["inception3a", "inception3b", "inception4a", "inception4b",
+              "inception4c", "inception4d", "inception4e", "inception5a",
+              "inception5b"]
+    branch_map = [("branch1", ""), ("branch2", ".0"), ("branch2", ".1"),
+                  ("branch3", ".0"), ("branch3", ".1"), ("branch4", ".1")]
+    for bi, blk in enumerate(blocks):
+        bp: Dict = {}
+        bs: Dict = {}
+        for ci, (br, idx) in enumerate(branch_map):
+            p, s = _cna(sd, f"{blk}.{br}{idx}.conv", f"{blk}.{br}{idx}.bn")
+            bp[f"ConvNormActivation_{ci}"] = p
+            bs[f"ConvNormActivation_{ci}"] = s
+        put(f"InceptionBlock_{bi}", bp, bs)
+
+    for aux in ("aux1", "aux2"):
+        if f"{aux}.conv.conv.weight" not in sd:
+            continue
+        p, s = _cna(sd, f"{aux}.conv.conv", f"{aux}.conv.bn")
+        # fc1 consumes the flattened 4x4x128 map: torch flattens CHW, we
+        # flatten HWC — reorder its input dimension
+        w1 = _np(sd[f"{aux}.fc1.weight"]).reshape(-1, 128, 4, 4)
+        w1 = w1.transpose(0, 2, 3, 1).reshape(w1.shape[0], -1)
+        params[aux] = {
+            "ConvNormActivation_0": p,
+            "Dense_0": {"kernel": jnp.asarray(w1.T),
+                        "bias": jnp.asarray(_np(sd[f"{aux}.fc1.bias"]))},
+            "Dense_1": {"kernel": convert_linear(sd[f"{aux}.fc2.weight"]),
+                        "bias": jnp.asarray(_np(sd[f"{aux}.fc2.bias"]))},
+        }
+        stats[aux] = {"ConvNormActivation_0": s}
+
+    params["Dense_0"] = {"kernel": convert_linear(sd["fc.weight"]),
+                         "bias": jnp.asarray(_np(sd["fc.bias"]))}
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["googlenet_from_torch"]

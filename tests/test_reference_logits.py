@@ -1,0 +1,77 @@
+"""Logits-equality against the LIVE reference source: build the reference
+torch model (random weights), convert its state_dict, and compare forward
+logits.  Stronger than parameter-count parity — it proves layer wiring,
+layout conversion, and BN semantics end to end.
+
+Skipped when the reference tree is not importable (these tests exist for
+environments where /root/reference is mounted, like this build's CI)."""
+
+import os
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "torchvision")),
+    reason="reference torchvision source not mounted")
+
+
+@pytest.fixture(scope="module")
+def tvm():
+    import sys
+
+    import torch
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    lib = torch.library.Library("torchvision", "DEF")
+    for s in [
+        "nms(Tensor dets, Tensor scores, float iou_threshold) -> Tensor",
+        "roi_align(Tensor input, Tensor rois, float spatial_scale, int pooled_height, int pooled_width, int sampling_ratio, bool aligned) -> Tensor",
+    ]:
+        try:
+            lib.define(s)
+        except Exception:
+            pass
+    from torchvision import models as _tvm
+
+    yield _tvm
+    del lib
+
+
+class TestGoogLeNetLogits:
+    def test_converted_googlenet_matches_reference_exactly(self, tvm):
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import googlenet_from_torch
+
+        torch.manual_seed(0)
+        tm = tvm.googlenet(weights=None, init_weights=True).eval()
+        variables = googlenet_from_torch(tm.state_dict())
+        ours = models.get_model("googlenet", num_classes=1000)
+        x = np.random.default_rng(0).random((2, 96, 96, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_converted_tree_matches_init_structure(self, tvm):
+        import jax
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import googlenet_from_torch
+
+        tm = tvm.googlenet(weights=None, init_weights=False)
+        variables = googlenet_from_torch(tm.state_dict())
+        ours = models.get_model("googlenet", num_classes=1000)
+        expected = jax.eval_shape(
+            lambda: ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)),
+                              train=False))
+        got_shapes = jax.tree.map(lambda a: a.shape, variables["params"])
+        want_shapes = jax.tree.map(lambda a: a.shape, expected["params"])
+        assert got_shapes == want_shapes
