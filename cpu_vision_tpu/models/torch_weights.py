@@ -383,3 +383,71 @@ def googlenet_from_torch(state_dict: Mapping) -> Dict:
 
 
 __all__ += ["googlenet_from_torch"]
+
+
+def mobilenet_v3_from_torch(state_dict: Mapping, arch: str = "large") -> Dict:
+    """torchvision MobileNetV3 state_dict -> our variables (reference
+    ``mobilenetv3.py``): features.0 stem, features.1..N InvertedResidual
+    blocks (expand / depthwise / optional SE / project), features.N+1 last
+    conv, classifier.{0,3} linears."""
+    from .mobilenet import _V3_LARGE, _V3_SMALL
+
+    cfg = _V3_LARGE if arch == "large" else _V3_SMALL
+    sd = state_dict
+    params: Dict = {}
+    stats: Dict = {}
+
+    def cna(conv_prefix, bn_prefix):
+        return _cna(sd, conv_prefix, bn_prefix)
+
+    p, s = cna("features.0.0", "features.0.1")
+    params["ConvNormActivation_0"] = p
+    stats["ConvNormActivation_0"] = s
+
+    stem_out = 16
+    in_c = stem_out
+    for bi, (k, exp, out_c, se, hs, stride) in enumerate(cfg):
+        t = f"features.{bi + 1}.block"
+        bp: Dict = {}
+        bs: Dict = {}
+        li = 0  # torch sub-layer index
+        ci = 0  # our ConvNormActivation index
+        if exp != in_c:  # expand 1x1
+            p, s = cna(f"{t}.{li}.0", f"{t}.{li}.1")
+            bp[f"ConvNormActivation_{ci}"] = p
+            bs[f"ConvNormActivation_{ci}"] = s
+            li += 1
+            ci += 1
+        p, s = cna(f"{t}.{li}.0", f"{t}.{li}.1")  # depthwise
+        bp[f"ConvNormActivation_{ci}"] = p
+        bs[f"ConvNormActivation_{ci}"] = s
+        li += 1
+        ci += 1
+        if se:
+            bp["SqueezeExcitation_0"] = {
+                "Conv_0": {"kernel": convert_conv(sd[f"{t}.{li}.fc1.weight"]),
+                           "bias": jnp.asarray(_np(sd[f"{t}.{li}.fc1.bias"]))},
+                "Conv_1": {"kernel": convert_conv(sd[f"{t}.{li}.fc2.weight"]),
+                           "bias": jnp.asarray(_np(sd[f"{t}.{li}.fc2.bias"]))},
+            }
+            li += 1
+        p, s = cna(f"{t}.{li}.0", f"{t}.{li}.1")  # project
+        bp[f"ConvNormActivation_{ci}"] = p
+        bs[f"ConvNormActivation_{ci}"] = s
+        params[f"V3Block_{bi}"] = bp
+        stats[f"V3Block_{bi}"] = bs
+        in_c = out_c
+
+    last = f"features.{len(cfg) + 1}"
+    p, s = cna(f"{last}.0", f"{last}.1")
+    params["ConvNormActivation_1"] = p
+    stats["ConvNormActivation_1"] = s
+
+    params["Dense_0"] = {"kernel": convert_linear(sd["classifier.0.weight"]),
+                         "bias": jnp.asarray(_np(sd["classifier.0.bias"]))}
+    params["Dense_1"] = {"kernel": convert_linear(sd["classifier.3.weight"]),
+                         "bias": jnp.asarray(_np(sd["classifier.3.bias"]))}
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["mobilenet_v3_from_torch"]

@@ -75,3 +75,22 @@ class TestGoogLeNetLogits:
         got_shapes = jax.tree.map(lambda a: a.shape, variables["params"])
         want_shapes = jax.tree.map(lambda a: a.shape, expected["params"])
         assert got_shapes == want_shapes
+
+
+class TestMobileNetV3Logits:
+    @pytest.mark.parametrize("arch", ["large", "small"])
+    def test_converted_matches_reference(self, tvm, arch):
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import mobilenet_v3_from_torch
+
+        torch.manual_seed(0)
+        tm = getattr(tvm, f"mobilenet_v3_{arch}")().eval()
+        variables = mobilenet_v3_from_torch(tm.state_dict(), arch)
+        ours = models.get_model(f"mobilenet_v3_{arch}", num_classes=1000)
+        x = np.random.default_rng(0).random((2, 96, 96, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
