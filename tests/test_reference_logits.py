@@ -94,3 +94,44 @@ class TestMobileNetV3Logits:
             ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
         out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestResNetLogits:
+    @pytest.mark.parametrize("name,layers,bottleneck", [
+        ("resnet18", (2, 2, 2, 2), False),
+        ("resnet50", (3, 4, 6, 3), True),
+    ])
+    def test_converted_matches_reference(self, tvm, name, layers, bottleneck):
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import resnet_from_torch
+
+        torch.manual_seed(0)
+        tm = getattr(tvm, name)().eval()
+        variables = resnet_from_torch(tm.state_dict(), layers, bottleneck)
+        ours = models.get_model(name, num_classes=1000)
+        x = np.random.default_rng(0).random((2, 96, 96, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+class TestSequentialLogits:
+    @pytest.mark.parametrize("name", ["alexnet", "vgg11"])
+    def test_converted_matches_reference(self, tvm, name):
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import sequential_cnn_from_torch
+
+        torch.manual_seed(0)
+        tm = getattr(tvm, name)().eval()
+        variables = sequential_cnn_from_torch(tm.state_dict())
+        ours = models.get_model(name, num_classes=1000)
+        x = np.random.default_rng(0).random((2, 224, 224, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
