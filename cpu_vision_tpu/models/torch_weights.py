@@ -451,3 +451,45 @@ def mobilenet_v3_from_torch(state_dict: Mapping, arch: str = "large") -> Dict:
 
 
 __all__ += ["mobilenet_v3_from_torch"]
+
+
+def convnext_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision ConvNeXt state_dict -> our flax params (reference
+    ``convnext.py``: features.0 stem conv+LN, odd features = CNBlock stages
+    (block.{0 dw-conv, 2 LN, 3 fc1, 5 fc2} + layer_scale), even features =
+    downsample LN+conv, classifier.{0 LN, 2 linear}).  Depths inferred from
+    the state-dict names."""
+    sd = state_dict
+    params: Dict[str, Any] = {
+        "Conv_0": {"kernel": convert_conv(sd["features.0.0.weight"]),
+                   "bias": jnp.asarray(_np(sd["features.0.0.bias"]))},
+        "LayerNorm_0": _ln(sd, "features.0.1"),
+    }
+    stage_ids = sorted({int(k.split(".")[1]) for k in sd if k.startswith("features.")})
+    block_stages = [i for i in stage_ids if f"features.{i}.0.layer_scale" in sd]
+    down_stages = [i for i in stage_ids if i not in block_stages and i != 0]
+    bi = 0
+    for si in block_stages:
+        j = 0
+        while f"features.{si}.{j}.layer_scale" in sd:
+            t = f"features.{si}.{j}"
+            params[f"CNBlock_{bi}"] = {
+                "Conv_0": {"kernel": convert_conv(sd[f"{t}.block.0.weight"]),
+                           "bias": jnp.asarray(_np(sd[f"{t}.block.0.bias"]))},
+                "LayerNorm_0": _ln(sd, f"{t}.block.2"),
+                "Dense_0": _dense(sd, f"{t}.block.3"),
+                "Dense_1": _dense(sd, f"{t}.block.5"),
+                "layer_scale": jnp.asarray(_np(sd[f"{t}.layer_scale"]).reshape(-1)),
+            }
+            bi += 1
+            j += 1
+    for di, si in enumerate(down_stages, start=1):
+        params[f"LayerNorm_{di}"] = _ln(sd, f"features.{si}.0")
+        params[f"Conv_{di}"] = {"kernel": convert_conv(sd[f"features.{si}.1.weight"]),
+                                "bias": jnp.asarray(_np(sd[f"features.{si}.1.bias"]))}
+    params[f"LayerNorm_{len(down_stages) + 1}"] = _ln(sd, "classifier.0")
+    params["Dense_0"] = _dense(sd, "classifier.2")
+    return {"params": params}
+
+
+__all__ += ["convnext_from_torch"]

@@ -135,3 +135,39 @@ class TestSequentialLogits:
             ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
         out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
         np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+class TestViTLogits:
+    def test_converted_vit_b_16_matches_reference(self, tvm):
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import vit_from_torch
+
+        torch.manual_seed(0)
+        tm = tvm.vit_b_16().eval()
+        variables = vit_from_torch(tm.state_dict(), num_layers=12, num_heads=12)
+        ours = models.get_model("vit_b_16", num_classes=1000)
+        x = np.random.default_rng(0).random((2, 224, 224, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+class TestConvNeXtLogits:
+    def test_converted_convnext_tiny_matches_reference(self, tvm):
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import convnext_from_torch
+
+        torch.manual_seed(0)
+        tm = tvm.convnext_tiny().eval()
+        variables = convnext_from_torch(tm.state_dict())
+        ours = models.get_model("convnext_tiny", num_classes=1000)
+        x = np.random.default_rng(0).random((2, 96, 96, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
