@@ -493,3 +493,66 @@ def convnext_from_torch(state_dict: Mapping) -> Dict:
 
 
 __all__ += ["convnext_from_torch"]
+
+
+def efficientnet_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision EfficientNet (v1) state_dict -> our flax variables
+    (reference ``efficientnet.py``): features.0 stem, features.1..7 MBConv
+    stages (optional expand, depthwise, SE fc1/fc2, project), features.8
+    head conv, classifier.1 linear.  Stage/repeat structure inferred from
+    the names; expand presence from the ``block.3`` sub-layer."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    p, s = _cna(sd, "features.0.0", "features.0.1")
+    params["ConvNormActivation_0"] = p
+    stats["ConvNormActivation_0"] = s
+
+    stage_ids = sorted({int(k.split(".")[1]) for k in sd if k.startswith("features.")})
+    head_id = stage_ids[-1]
+    bi = 0
+    for si in stage_ids[1:-1]:
+        j = 0
+        while f"features.{si}.{j}.block.0.0.weight" in sd:
+            t = f"features.{si}.{j}.block"
+            has_expand = f"{t}.3.0.weight" in sd
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            li = 0
+            ci = 0
+            if has_expand:
+                p, s = _cna(sd, f"{t}.{li}.0", f"{t}.{li}.1")
+                bp[f"ConvNormActivation_{ci}"] = p
+                bs[f"ConvNormActivation_{ci}"] = s
+                li += 1
+                ci += 1
+            p, s = _cna(sd, f"{t}.{li}.0", f"{t}.{li}.1")  # depthwise
+            bp[f"ConvNormActivation_{ci}"] = p
+            bs[f"ConvNormActivation_{ci}"] = s
+            li += 1
+            ci += 1
+            bp["SqueezeExcitation_0"] = {
+                "Conv_0": {"kernel": convert_conv(sd[f"{t}.{li}.fc1.weight"]),
+                           "bias": jnp.asarray(_np(sd[f"{t}.{li}.fc1.bias"]))},
+                "Conv_1": {"kernel": convert_conv(sd[f"{t}.{li}.fc2.weight"]),
+                           "bias": jnp.asarray(_np(sd[f"{t}.{li}.fc2.bias"]))},
+            }
+            li += 1
+            p, s = _cna(sd, f"{t}.{li}.0", f"{t}.{li}.1")  # project
+            bp[f"ConvNormActivation_{ci}"] = p
+            bs[f"ConvNormActivation_{ci}"] = s
+            params[f"MBConv_{bi}"] = bp
+            stats[f"MBConv_{bi}"] = bs
+            bi += 1
+            j += 1
+
+    p, s = _cna(sd, f"features.{head_id}.0", f"features.{head_id}.1")
+    params["ConvNormActivation_1"] = p
+    stats["ConvNormActivation_1"] = s
+    params["Dense_0"] = {"kernel": convert_linear(sd["classifier.1.weight"]),
+                         "bias": jnp.asarray(_np(sd["classifier.1.bias"]))}
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["efficientnet_from_torch"]
