@@ -556,3 +556,49 @@ def efficientnet_from_torch(state_dict: Mapping) -> Dict:
 
 
 __all__ += ["efficientnet_from_torch"]
+
+
+def shufflenet_v2_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision ShuffleNetV2 state_dict -> our flax variables (reference
+    ``shufflenetv2.py``): conv1, stage2-4 of InvertedResiduals (downsample
+    units carry branch1 dw+pw; all carry branch2 pw/dw/pw), conv5, fc."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    p, s = _cna(sd, "conv1.0", "conv1.1")
+    params["ConvNormActivation_0"] = p
+    stats["ConvNormActivation_0"] = s
+
+    bi = 0
+    for stage in (2, 3, 4):
+        j = 0
+        while f"stage{stage}.{j}.branch2.0.weight" in sd:
+            t = f"stage{stage}.{j}"
+            pairs = []
+            if f"{t}.branch1.0.weight" in sd:  # downsample unit
+                pairs += [(f"{t}.branch1.0", f"{t}.branch1.1"),
+                          (f"{t}.branch1.2", f"{t}.branch1.3")]
+            pairs += [(f"{t}.branch2.0", f"{t}.branch2.1"),
+                      (f"{t}.branch2.3", f"{t}.branch2.4"),
+                      (f"{t}.branch2.5", f"{t}.branch2.6")]
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for ci, (cp, bnp) in enumerate(pairs):
+                p, s = _cna(sd, cp, bnp)
+                bp[f"ConvNormActivation_{ci}"] = p
+                bs[f"ConvNormActivation_{ci}"] = s
+            params[f"_ShuffleUnit_{bi}"] = bp
+            stats[f"_ShuffleUnit_{bi}"] = bs
+            bi += 1
+            j += 1
+
+    p, s = _cna(sd, "conv5.0", "conv5.1")
+    params["ConvNormActivation_1"] = p
+    stats["ConvNormActivation_1"] = s
+    params["Dense_0"] = {"kernel": convert_linear(sd["fc.weight"]),
+                         "bias": jnp.asarray(_np(sd["fc.bias"]))}
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["shufflenet_v2_from_torch"]
