@@ -602,3 +602,51 @@ def shufflenet_v2_from_torch(state_dict: Mapping) -> Dict:
 
 
 __all__ += ["shufflenet_v2_from_torch"]
+
+
+def densenet_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision DenseNet state_dict -> our flax variables (reference
+    ``densenet.py``: features.conv0/norm0, denseblock{1..4}.denselayer{j}
+    (norm1/conv1/norm2/conv2), transition{1..3} (norm/conv), norm5,
+    classifier).  Block depths inferred from the names."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["Conv_0"] = {"kernel": convert_conv(sd["features.conv0.weight"])}
+    p, s = _bn(sd, "features.norm0")
+    params["BatchNorm_0"] = p
+    stats["BatchNorm_0"] = s
+
+    li = 0
+    for blk in (1, 2, 3, 4):
+        j = 1
+        while f"features.denseblock{blk}.denselayer{j}.conv1.weight" in sd:
+            t = f"features.denseblock{blk}.denselayer{j}"
+            p1, s1 = _bn(sd, f"{t}.norm1")
+            p2, s2 = _bn(sd, f"{t}.norm2")
+            params[f"DenseLayer_{li}"] = {
+                "BatchNorm_0": p1,
+                "Conv_0": {"kernel": convert_conv(sd[f"{t}.conv1.weight"])},
+                "BatchNorm_1": p2,
+                "Conv_1": {"kernel": convert_conv(sd[f"{t}.conv2.weight"])},
+            }
+            stats[f"DenseLayer_{li}"] = {"BatchNorm_0": s1, "BatchNorm_1": s2}
+            li += 1
+            j += 1
+        if blk < 4:
+            t = f"features.transition{blk}"
+            p, s = _bn(sd, f"{t}.norm")
+            params[f"BatchNorm_{blk}"] = p
+            stats[f"BatchNorm_{blk}"] = s
+            params[f"Conv_{blk}"] = {"kernel": convert_conv(sd[f"{t}.conv.weight"])}
+
+    p, s = _bn(sd, "features.norm5")
+    params["BatchNorm_4"] = p
+    stats["BatchNorm_4"] = s
+    params["Dense_0"] = {"kernel": convert_linear(sd["classifier.weight"]),
+                         "bias": jnp.asarray(_np(sd["classifier.bias"]))}
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["densenet_from_torch"]

@@ -209,3 +209,21 @@ class TestShuffleNetLogits:
             ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
         out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestDenseNetLogits:
+    def test_converted_densenet121_matches_reference(self, tvm):
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import densenet_from_torch
+
+        torch.manual_seed(0)
+        tm = tvm.densenet121().eval()
+        variables = densenet_from_torch(tm.state_dict())
+        ours = models.get_model("densenet121", num_classes=1000)
+        x = np.random.default_rng(0).random((2, 96, 96, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
