@@ -25,8 +25,12 @@ def tvm():
 
     import torch
 
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
+    # APPEND (not prepend): /root/reference also contains a `references/`
+    # tree that would otherwise shadow this repo's namespace package of the
+    # same name for any test that runs later in the session
+    added = REFERENCE not in sys.path
+    if added:
+        sys.path.append(REFERENCE)
     lib = torch.library.Library("torchvision", "DEF")
     for s in [
         "nms(Tensor dets, Tensor scores, float iou_threshold) -> Tensor",
@@ -40,6 +44,12 @@ def tvm():
 
     yield _tvm
     del lib
+    if added:
+        sys.path.remove(REFERENCE)
+    # drop the merged namespace-package entry so later imports of this
+    # repo's `references/` re-resolve cleanly
+    for mod in [m for m in sys.modules if m == "references" or m.startswith("references.")]:
+        del sys.modules[mod]
 
 
 class TestGoogLeNetLogits:
