@@ -650,3 +650,55 @@ def densenet_from_torch(state_dict: Mapping) -> Dict:
 
 
 __all__ += ["densenet_from_torch"]
+
+
+def regnet_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision RegNet state_dict -> our flax variables (reference
+    ``regnet.py``): stem, trunk_output.block{s}.block{s}-{j} with
+    f.a / f.b / optional f.se / f.c and optional proj downsample, fc."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    p, s = _cna(sd, "stem.0", "stem.1")
+    params["ConvNormActivation_0"] = p
+    stats["ConvNormActivation_0"] = s
+
+    bi = 0
+    stage = 1
+    while f"trunk_output.block{stage}.block{stage}-0.f.a.0.weight" in sd:
+        j = 0
+        while f"trunk_output.block{stage}.block{stage}-{j}.f.a.0.weight" in sd:
+            t = f"trunk_output.block{stage}.block{stage}-{j}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for ci, sub in enumerate(("f.a", "f.b")):
+                p, s = _cna(sd, f"{t}.{sub}.0", f"{t}.{sub}.1")
+                bp[f"ConvNormActivation_{ci}"] = p
+                bs[f"ConvNormActivation_{ci}"] = s
+            if f"{t}.f.se.fc1.weight" in sd:
+                bp["SqueezeExcitation_0"] = {
+                    "Conv_0": {"kernel": convert_conv(sd[f"{t}.f.se.fc1.weight"]),
+                               "bias": jnp.asarray(_np(sd[f"{t}.f.se.fc1.bias"]))},
+                    "Conv_1": {"kernel": convert_conv(sd[f"{t}.f.se.fc2.weight"]),
+                               "bias": jnp.asarray(_np(sd[f"{t}.f.se.fc2.bias"]))},
+                }
+            p, s = _cna(sd, f"{t}.f.c.0", f"{t}.f.c.1")
+            bp["ConvNormActivation_2"] = p
+            bs["ConvNormActivation_2"] = s
+            if f"{t}.proj.0.weight" in sd:
+                p, s = _cna(sd, f"{t}.proj.0", f"{t}.proj.1")
+                bp["ConvNormActivation_3"] = p
+                bs["ConvNormActivation_3"] = s
+            params[f"XBlock_{bi}"] = bp
+            stats[f"XBlock_{bi}"] = bs
+            bi += 1
+            j += 1
+        stage += 1
+
+    params["Dense_0"] = {"kernel": convert_linear(sd["fc.weight"]),
+                         "bias": jnp.asarray(_np(sd["fc.bias"]))}
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["regnet_from_torch"]
