@@ -702,3 +702,46 @@ def regnet_from_torch(state_dict: Mapping) -> Dict:
 
 
 __all__ += ["regnet_from_torch"]
+
+
+def mnasnet_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision MNASNet state_dict -> our flax variables (reference
+    ``mnasnet.py``: layers.0/1 stem, layers.3/4 depthwise, layers.6/7
+    project, layers.8-13 _InvertedResidual stacks (each sub-block has
+    layers.{0,1,3,4,6,7}), layers.14/15 head conv, classifier.1)."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    for ci, (cw, bw) in enumerate((("layers.0", "layers.1"),
+                                   ("layers.3", "layers.4"),
+                                   ("layers.6", "layers.7"))):
+        p, s = _cna(sd, cw, bw)
+        params[f"ConvNormActivation_{ci}"] = p
+        stats[f"ConvNormActivation_{ci}"] = s
+
+    bi = 0
+    for stack in (8, 9, 10, 11, 12, 13):
+        j = 0
+        while f"layers.{stack}.{j}.layers.0.weight" in sd:
+            t = f"layers.{stack}.{j}.layers"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for ci, (c, b) in enumerate(((0, 1), (3, 4), (6, 7))):
+                p, s = _cna(sd, f"{t}.{c}", f"{t}.{b}")
+                bp[f"ConvNormActivation_{ci}"] = p
+                bs[f"ConvNormActivation_{ci}"] = s
+            params[f"_InvertedResidual_{bi}"] = bp
+            stats[f"_InvertedResidual_{bi}"] = bs
+            bi += 1
+            j += 1
+
+    p, s = _cna(sd, "layers.14", "layers.15")
+    params["ConvNormActivation_3"] = p
+    stats["ConvNormActivation_3"] = s
+    params["Dense_0"] = {"kernel": convert_linear(sd["classifier.1.weight"]),
+                         "bias": jnp.asarray(_np(sd["classifier.1.bias"]))}
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["mnasnet_from_torch"]

@@ -256,3 +256,22 @@ class TestRegNetLogits:
             ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
         out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestMNASNetLogits:
+    @pytest.mark.parametrize("name", ["mnasnet0_5", "mnasnet1_0"])
+    def test_converted_matches_reference(self, tvm, name):
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import mnasnet_from_torch
+
+        torch.manual_seed(0)
+        tm = getattr(tvm, name)().eval()
+        variables = mnasnet_from_torch(tm.state_dict())
+        ours = models.get_model(name, num_classes=1000)
+        x = np.random.default_rng(0).random((2, 96, 96, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
