@@ -53,11 +53,11 @@ class MBConv(nn.Module):
         hidden = _make_divisible(inp * self.expand_ratio)
         out = x
         if hidden != inp:
-            out = ConvNormActivation(hidden, 1, activation=nn.silu, dtype=self.dtype)(out, train)
+            out = ConvNormActivation(hidden, 1, activation=nn.silu, eps=1e-3, dtype=self.dtype)(out, train)
         out = ConvNormActivation(hidden, self.kernel, self.strides, groups=hidden,
-                                 activation=nn.silu, dtype=self.dtype)(out, train)
+                                 activation=nn.silu, eps=1e-3, dtype=self.dtype)(out, train)
         out = SqueezeExcitation(max(1, inp // 4), activation=nn.silu, dtype=self.dtype)(out)
-        out = ConvNormActivation(self.features, 1, activation=None, dtype=self.dtype)(out, train)
+        out = ConvNormActivation(self.features, 1, activation=None, eps=1e-3, dtype=self.dtype)(out, train)
         if use_res:
             out = StochasticDepth(self.sd_prob, "row")(out, train)
             out = out + x
@@ -81,11 +81,11 @@ class FusedMBConv(nn.Module):
         hidden = _make_divisible(inp * self.expand_ratio)
         if hidden != inp:
             out = ConvNormActivation(hidden, self.kernel, self.strides,
-                                     activation=nn.silu, dtype=self.dtype)(x, train)
-            out = ConvNormActivation(self.features, 1, activation=None, dtype=self.dtype)(out, train)
+                                     activation=nn.silu, eps=1e-3, dtype=self.dtype)(x, train)
+            out = ConvNormActivation(self.features, 1, activation=None, eps=1e-3, dtype=self.dtype)(out, train)
         else:
             out = ConvNormActivation(self.features, self.kernel, self.strides,
-                                     activation=nn.silu, dtype=self.dtype)(x, train)
+                                     activation=nn.silu, eps=1e-3, dtype=self.dtype)(x, train)
         if use_res:
             out = StochasticDepth(self.sd_prob, "row")(out, train)
             out = out + x
@@ -144,7 +144,7 @@ class EfficientNet(nn.Module):
     def __call__(self, x, train: bool = False):
         is_v1 = self.cfg[0][0] == "mb"
         stem_c = _round_channels(32, self.width_mult) if is_v1 else self.cfg[0][4]
-        x = ConvNormActivation(stem_c, 3, 2, activation=nn.silu, dtype=self.dtype)(x, train)
+        x = ConvNormActivation(stem_c, 3, 2, activation=nn.silu, eps=1e-3, dtype=self.dtype)(x, train)
         total_blocks = sum(_round_repeats(n, self.depth_mult) for *_, n in self.cfg)
         block_id = 0
         for btype, expand, kernel, stride, channels, repeats in self.cfg:
@@ -156,7 +156,7 @@ class EfficientNet(nn.Module):
                 x = cls(out_c, kernel, stride if i == 0 else 1, expand, sd, dtype=self.dtype)(x, train)
                 block_id += 1
         last = self.last_channel or 4 * x.shape[-1]
-        x = ConvNormActivation(last, 1, activation=nn.silu, dtype=self.dtype)(x, train)
+        x = ConvNormActivation(last, 1, activation=nn.silu, eps=1e-3, dtype=self.dtype)(x, train)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)

@@ -15,7 +15,8 @@ __all__ = ["GoogLeNet", "Inception3", "googlenet", "inception_v3"]
 
 
 def _cba(features, kernel, strides=1, padding=None, dtype=jnp.float32):
-    return ConvNormActivation(features, kernel, strides, padding=padding, dtype=dtype)
+    # reference BasicConv2d: BatchNorm2d(eps=0.001) (googlenet.py:270, inception.py:402)
+    return ConvNormActivation(features, kernel, strides, padding=padding, eps=1e-3, dtype=dtype)
 
 
 def _adaptive_avg_pool(x, out_hw):

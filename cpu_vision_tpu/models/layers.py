@@ -72,6 +72,7 @@ class ConvNormActivation(nn.Module):
     activation: Optional[Callable] = nn.relu
     bias: Optional[bool] = None
     padding: Optional[Union[str, int]] = None
+    eps: float = 1e-5  # BN epsilon (reference families override, e.g. 1e-3)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -96,8 +97,8 @@ class ConvNormActivation(nn.Module):
             dtype=self.dtype,
         )(x)
         if self.norm == "batch":
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                             dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=self.eps, dtype=self.dtype)(x)
         elif self.norm == "frozen":
             x = FrozenBatchNorm(self.features, dtype=self.dtype)(x)
         elif self.norm == "layer":

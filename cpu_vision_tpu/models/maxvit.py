@@ -64,7 +64,8 @@ class RelativeAttention(nn.Module):
         head = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype)(x).reshape(b, n, 3, self.num_heads, head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * head**-0.5, k)
+        # reference scales k by feat_dim**-0.5 — NOT head_dim (maxvit.py:166)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k * self.dim**-0.5)
         table = self.param(
             "rel_bias", nn.initializers.normal(0.02),
             ((2 * self.partition - 1) ** 2, self.num_heads),
@@ -90,13 +91,13 @@ class MBConvBlock(nn.Module):
             res = nn.avg_pool(res, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
             res = nn.Conv(self.features, (1, 1), dtype=self.dtype)(res)
         mid = self.features * self.expansion
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, epsilon=1e-3, dtype=self.dtype)(x)
         y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, epsilon=1e-3, dtype=self.dtype)(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Conv(mid, (3, 3), (self.strides, self.strides), padding=[(1, 1), (1, 1)],
                     feature_group_count=mid, use_bias=False, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, epsilon=1e-3, dtype=self.dtype)(y)
         y = nn.gelu(y, approximate=False)
         y = SqueezeExcitation(self.features // 4, activation=nn.silu, dtype=self.dtype)(y)
         y = nn.Conv(self.features, (1, 1), dtype=self.dtype)(y)
@@ -118,24 +119,24 @@ class MaxVitBlock(nn.Module):
         n, h, w, c = x.shape
         p = min(self.partition, h, w)
         # block attention
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         y = _block_reverse(
             RelativeAttention(c, self.num_heads, p, self.dtype)(_block_partition(y, p)), p, n, h, w
         )
         x = x + StochasticDepth(self.sd_prob, "row")(y, train)
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         y = nn.Dense(4 * c, dtype=self.dtype)(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(c, dtype=self.dtype)(y)
         x = x + StochasticDepth(self.sd_prob, "row")(y, train)
         # grid attention
         g = min(self.partition, h, w)
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         y = _grid_reverse(
             RelativeAttention(c, self.num_heads, g, self.dtype)(_grid_partition(y, g)), g, n, h, w
         )
         x = x + StochasticDepth(self.sd_prob, "row")(y, train)
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         y = nn.Dense(4 * c, dtype=self.dtype)(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(c, dtype=self.dtype)(y)
@@ -158,7 +159,7 @@ class MaxVit(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.stem_channels, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3, dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Conv(self.stem_channels, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype)(x)
         total = sum(self.block_layers)
@@ -171,7 +172,7 @@ class MaxVit(nn.Module):
                                 dtype=self.dtype)(x, train)
                 bid += 1
         x = jnp.mean(x, axis=(1, 2))
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = jnp.tanh(nn.Dense(self.block_channels[-1], dtype=self.dtype)(x))
         # reference classifier head has no bias (maxvit.py classifier[5])
         return nn.Dense(self.num_classes, use_bias=False, dtype=self.dtype)(x)

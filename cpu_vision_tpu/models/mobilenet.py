@@ -106,17 +106,17 @@ class V3Block(nn.Module):
         use_res = strides == 1 and inp == self.features
         out = x
         if self.expanded != inp:
-            out = ConvNormActivation(self.expanded, 1, activation=act, dtype=self.dtype)(out, train)
+            out = ConvNormActivation(self.expanded, 1, activation=act, eps=1e-3, dtype=self.dtype)(out, train)
         expanded = out  # C4 tap for detection (reference splits the block here)
         out = ConvNormActivation(self.expanded, self.kernel, strides,
                                  groups=self.expanded, dilation=self.dilation,
-                                 activation=act, dtype=self.dtype)(out, train)
+                                 activation=act, eps=1e-3, dtype=self.dtype)(out, train)
         if self.use_se:
             from .layers import SqueezeExcitation
 
             out = SqueezeExcitation(_make_divisible(self.expanded // 4),
                                     scale_activation=hardsigmoid, dtype=self.dtype)(out)
-        out = ConvNormActivation(self.features, 1, activation=None, dtype=self.dtype)(out, train)
+        out = ConvNormActivation(self.features, 1, activation=None, eps=1e-3, dtype=self.dtype)(out, train)
         out = x + out if use_res else out
         return (out, expanded) if return_expanded else out
 
@@ -163,11 +163,11 @@ class MobileNetV3(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvNormActivation(16, 3, 2, activation=hardswish, dtype=self.dtype)(x, train)
+        x = ConvNormActivation(16, 3, 2, activation=hardswish, eps=1e-3, dtype=self.dtype)(x, train)
         for k, exp, out_c, se, hs, s in self.config:
             x = V3Block(out_c, k, exp, se, hs, s, dtype=self.dtype)(x, train)
         last_conv = 6 * x.shape[-1]
-        x = ConvNormActivation(last_conv, 1, activation=hardswish, dtype=self.dtype)(x, train)
+        x = ConvNormActivation(last_conv, 1, activation=hardswish, eps=1e-3, dtype=self.dtype)(x, train)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.last_channel, dtype=self.dtype)(x)
         x = hardswish(x)

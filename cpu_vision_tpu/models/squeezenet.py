@@ -34,9 +34,19 @@ class SqueezeNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pool = lambda x: nn.max_pool(x, (3, 3), (2, 2))  # noqa: E731
+        def pool(x):
+            # torch MaxPool2d(3, 2, ceil_mode=True): pad bottom/right with
+            # -inf so the last (partial) window is kept
+            h, w = x.shape[1], x.shape[2]
+            eh = (-(-(h - 3) // 2)) * 2 + 3 - h
+            ew = (-(-(w - 3) // 2)) * 2 + 3 - w
+            if eh or ew:
+                x = jnp.pad(x, ((0, 0), (0, eh), (0, ew), (0, 0)),
+                            constant_values=-jnp.inf)
+            return nn.max_pool(x, (3, 3), (2, 2))
+
         if self.version == "1_0":
-            x = nn.relu(nn.Conv(96, (7, 7), (2, 2), dtype=self.dtype)(x))
+            x = nn.relu(nn.Conv(96, (7, 7), (2, 2), padding="VALID", dtype=self.dtype)(x))
             x = pool(x)
             for cfg in [(16, 64, 64), (16, 64, 64), (32, 128, 128)]:
                 x = Fire(*cfg, dtype=self.dtype)(x)
@@ -46,7 +56,7 @@ class SqueezeNet(nn.Module):
             x = pool(x)
             x = Fire(64, 256, 256, dtype=self.dtype)(x)
         else:
-            x = nn.relu(nn.Conv(64, (3, 3), (2, 2), dtype=self.dtype)(x))
+            x = nn.relu(nn.Conv(64, (3, 3), (2, 2), padding="VALID", dtype=self.dtype)(x))
             x = pool(x)
             x = Fire(16, 64, 64, dtype=self.dtype)(x)
             x = Fire(16, 64, 64, dtype=self.dtype)(x)

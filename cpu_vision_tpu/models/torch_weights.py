@@ -745,3 +745,380 @@ def mnasnet_from_torch(state_dict: Mapping) -> Dict:
 
 
 __all__ += ["mnasnet_from_torch"]
+
+
+def _conv_b(sd: Mapping, prefix: str) -> Dict:
+    """torch conv with bias -> flax Conv subtree."""
+    return {"kernel": convert_conv(sd[f"{prefix}.weight"]),
+            "bias": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+
+
+def squeezenet_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision SqueezeNet state_dict -> our flax variables (reference
+    ``squeezenet.py``: features.0 stem conv, Fire modules at the remaining
+    feature indices with squeeze/expand1x1/expand3x3 convs, classifier.1
+    final conv).  Fire index order matches call order (Fire_0..Fire_7)."""
+    sd = state_dict
+    params: Dict[str, Any] = {"Conv_0": _conv_b(sd, "features.0")}
+    fire_ids = sorted({int(k.split(".")[1]) for k in sd if ".squeeze.weight" in k})
+    for j, i in enumerate(fire_ids):
+        t = f"features.{i}"
+        params[f"Fire_{j}"] = {
+            "Conv_0": _conv_b(sd, f"{t}.squeeze"),
+            "Conv_1": _conv_b(sd, f"{t}.expand1x1"),
+            "Conv_2": _conv_b(sd, f"{t}.expand3x3"),
+        }
+    params["Conv_1"] = _conv_b(sd, "classifier.1")
+    return {"params": params}
+
+
+__all__ += ["squeezenet_from_torch"]
+
+
+def inception3_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision Inception3 state_dict -> our flax variables (reference
+    ``inception.py``: Conv2d_* stem, Mixed_5x InceptionA, Mixed_6a
+    InceptionB, Mixed_6b-e InceptionC, Mixed_7a InceptionD, Mixed_7b/c
+    InceptionE, AuxLogits, fc).  Branch-to-CNA index maps follow our call
+    order in ``googlenet.py:InceptionA..E``."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_cna(dst_p, dst_s, name, torch_prefix):
+        p, s = _cna(sd, f"{torch_prefix}.conv", f"{torch_prefix}.bn")
+        dst_p[name] = p
+        dst_s[name] = s
+
+    for i, stem in enumerate(("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+                              "Conv2d_3b_1x1", "Conv2d_4a_3x3")):
+        put_cna(params, stats, f"ConvNormActivation_{i}", stem)
+
+    block_branches = {
+        "A": ["branch1x1", "branch5x5_1", "branch5x5_2",
+              "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3", "branch_pool"],
+        "B": ["branch3x3", "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3"],
+        "C": ["branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+              "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+              "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool"],
+        "D": ["branch3x3_1", "branch3x3_2", "branch7x7x3_1", "branch7x7x3_2",
+              "branch7x7x3_3", "branch7x7x3_4"],
+        "E": ["branch1x1", "branch3x3_1", "branch3x3_2a", "branch3x3_2b",
+              "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3a",
+              "branch3x3dbl_3b", "branch_pool"],
+    }
+    mixed = [("Mixed_5b", "A", 0), ("Mixed_5c", "A", 1), ("Mixed_5d", "A", 2),
+             ("Mixed_6a", "B", 0), ("Mixed_6b", "C", 0), ("Mixed_6c", "C", 1),
+             ("Mixed_6d", "C", 2), ("Mixed_6e", "C", 3), ("Mixed_7a", "D", 0),
+             ("Mixed_7b", "E", 0), ("Mixed_7c", "E", 1)]
+    for blk, kind, idx in mixed:
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        for ci, br in enumerate(block_branches[kind]):
+            put_cna(bp, bs, f"ConvNormActivation_{ci}", f"{blk}.{br}")
+        params[f"Inception{kind}_{idx}"] = bp
+        stats[f"Inception{kind}_{idx}"] = bs
+
+    if "AuxLogits.conv0.conv.weight" in sd:
+        ap: Dict[str, Any] = {}
+        as_: Dict[str, Any] = {}
+        put_cna(ap, as_, "ConvNormActivation_0", "AuxLogits.conv0")
+        put_cna(ap, as_, "ConvNormActivation_1", "AuxLogits.conv1")
+        ap["Dense_0"] = {"kernel": convert_linear(sd["AuxLogits.fc.weight"]),
+                         "bias": jnp.asarray(_np(sd["AuxLogits.fc.bias"]))}
+        params["AuxLogits"] = ap
+        stats["AuxLogits"] = as_
+
+    params["Dense_0"] = {"kernel": convert_linear(sd["fc.weight"]),
+                         "bias": jnp.asarray(_np(sd["fc.bias"]))}
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["inception3_from_torch"]
+
+
+def convert_conv3d(w) -> jnp.ndarray:
+    """torch conv3d (O, I, kT, kH, kW) -> flax (kT, kH, kW, I, O)."""
+    return jnp.asarray(_np(w).transpose(2, 3, 4, 1, 0))
+
+
+def video_resnet_from_torch(state_dict: Mapping, arch: str) -> Dict:
+    """torchvision VideoResNet state_dict -> our flax variables (reference
+    ``video/resnet.py``: stem, layer1-4 of 2 BasicBlocks each, fc).
+    ``arch`` in {"r3d_18", "mc3_18", "r2plus1d_18"} picks the per-stage
+    conv builders (Conv3DSimple / Conv3DNoTemporal / Conv2Plus1D)."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn3(prefix):
+        return _bn(sd, prefix)
+
+    if arch == "r2plus1d_18":
+        conv_types = ["2plus1d"] * 4
+        params["Conv_0"] = {"kernel": convert_conv3d(sd["stem.0.weight"])}
+        p, s = bn3("stem.1")
+        params["BatchNorm_0"], stats["BatchNorm_0"] = p, s
+        params["Conv_1"] = {"kernel": convert_conv3d(sd["stem.3.weight"])}
+        p, s = bn3("stem.4")
+        params["BatchNorm_1"], stats["BatchNorm_1"] = p, s
+    else:
+        conv_types = ["3d"] * 4 if arch == "r3d_18" else ["3d", "2d", "2d", "2d"]
+        params["Conv_0"] = {"kernel": convert_conv3d(sd["stem.0.weight"])}
+        p, s = bn3("stem.1")
+        params["BatchNorm_0"], stats["BatchNorm_0"] = p, s
+
+    bi = 0
+    for li, ctype in enumerate(conv_types):
+        for j in range(2):
+            t = f"layer{li + 1}.{j}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            if ctype == "2plus1d":
+                for ci, cv in enumerate(("conv1", "conv2")):
+                    sub_p, sub_s = bn3(f"{t}.{cv}.0.1")
+                    bp[f"Conv2Plus1D_{ci}"] = {
+                        "Conv_0": {"kernel": convert_conv3d(sd[f"{t}.{cv}.0.0.weight"])},
+                        "BatchNorm_0": sub_p,
+                        "Conv_1": {"kernel": convert_conv3d(sd[f"{t}.{cv}.0.3.weight"])},
+                    }
+                    bs[f"Conv2Plus1D_{ci}"] = {"BatchNorm_0": sub_s}
+                    p, s = bn3(f"{t}.{cv}.1")
+                    bp[f"BatchNorm_{ci}"], bs[f"BatchNorm_{ci}"] = p, s
+                ds_conv = "Conv_0"
+            else:
+                for ci, cv in enumerate(("conv1", "conv2")):
+                    bp[f"Conv_{ci}"] = {"kernel": convert_conv3d(sd[f"{t}.{cv}.0.weight"])}
+                    p, s = bn3(f"{t}.{cv}.1")
+                    bp[f"BatchNorm_{ci}"], bs[f"BatchNorm_{ci}"] = p, s
+                ds_conv = "Conv_2"
+            if f"{t}.downsample.0.weight" in sd:
+                bp[ds_conv] = {"kernel": convert_conv3d(sd[f"{t}.downsample.0.weight"])}
+                p, s = bn3(f"{t}.downsample.1")
+                bp["BatchNorm_2"], bs["BatchNorm_2"] = p, s
+            params[f"VideoBasicBlock_{bi}"] = bp
+            stats[f"VideoBasicBlock_{bi}"] = bs
+            bi += 1
+
+    params["Dense_0"] = {"kernel": convert_linear(sd["fc.weight"]),
+                         "bias": jnp.asarray(_np(sd["fc.bias"]))}
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["video_resnet_from_torch", "convert_conv3d"]
+
+
+def s3d_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision S3D state_dict -> our flax variables (reference
+    ``video/s3d.py``): features.* Conv3dNormActivation chains in call order
+    (our S3D names convs/bns positionally), classifier.1 final conv."""
+    sd = state_dict
+    # conv-bn prefixes in call order: stem sep(2) + cna + sep(2), then 10
+    # SepInceptionBlock3D x (b0: 1, b1: 1+2, b2: 1+2, b3: 1)
+    prefixes = ["features.0.0", "features.0.1", "features.2", "features.3.0",
+                "features.3.1"]
+    incep = [5, 6, 8, 9, 10, 11, 12, 14, 15]
+    for i in incep:
+        t = f"features.{i}"
+        prefixes += [f"{t}.branch0", f"{t}.branch1.0", f"{t}.branch1.1.0",
+                     f"{t}.branch1.1.1", f"{t}.branch2.0", f"{t}.branch2.1.0",
+                     f"{t}.branch2.1.1", f"{t}.branch3.1"]
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for ci, pre in enumerate(prefixes):
+        params[f"Conv_{ci}"] = {"kernel": convert_conv3d(sd[f"{pre}.0.weight"])}
+        p, s = _bn(sd, f"{pre}.1")
+        params[f"BatchNorm_{ci}"], stats[f"BatchNorm_{ci}"] = p, s
+    n = len(prefixes)
+    w = _np(sd["classifier.1.weight"])  # (O, I, 1, 1, 1) conv3d classifier
+    params[f"Conv_{n}"] = {
+        "kernel": jnp.asarray(w[:, :, 0].transpose(2, 3, 1, 0)),
+        "bias": jnp.asarray(_np(sd["classifier.1.bias"]))}
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["s3d_from_torch"]
+
+
+def _raft_cna(sd: Mapping, prefix: str, has_bn: bool = False):
+    """torch Conv2dNormActivation inside RAFT (conv idx 0 with bias,
+    optional BatchNorm idx 1) -> our _CNA subtree."""
+    p: Dict[str, Any] = {"Conv_0": {"kernel": convert_conv(sd[f"{prefix}.0.weight"]),
+                                    "bias": jnp.asarray(_np(sd[f"{prefix}.0.bias"]))}}
+    s: Dict[str, Any] = {}
+    if has_bn:
+        bn_p, bn_s = _bn(sd, f"{prefix}.1")
+        p["BatchNorm_0"] = bn_p
+        s["BatchNorm_0"] = bn_s
+    return p, s
+
+
+def raft_from_torch(state_dict: Mapping, arch: str = "raft_large") -> Dict:
+    """torchvision RAFT state_dict -> our flax variables (reference
+    ``optical_flow/raft.py``: feature/context encoders, update block with
+    motion encoder + recurrent GRUs + flow head, mask predictor)."""
+    sd = state_dict
+    large = arch == "raft_large"
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def encoder(name, bn):
+        ep: Dict[str, Any] = {}
+        es: Dict[str, Any] = {}
+
+        def put(sub, prefix):
+            p, s = _raft_cna(sd, prefix, bn)
+            ep[sub] = p
+            if s:
+                es[sub] = s
+
+        put("convnormrelu", f"{name}.convnormrelu")
+        subs = (("convnormrelu1", "convnormrelu2", "downsample") if large
+                else ("convnormrelu1", "convnormrelu2", "convnormrelu3", "downsample"))
+        for li in (1, 2, 3):
+            for j in (0, 1):
+                t = f"{name}.layer{li}.{j}"
+                bp: Dict[str, Any] = {}
+                bs: Dict[str, Any] = {}
+                for cna in subs:
+                    if f"{t}.{cna}.0.weight" not in sd:
+                        continue  # identity downsample
+                    p, s = _raft_cna(sd, f"{t}.{cna}", bn)
+                    bp[cna] = p
+                    if s:
+                        bs[cna] = s
+                ep[f"layer{li}_{j}"] = bp
+                if bs:
+                    es[f"layer{li}_{j}"] = bs
+        ep["conv"] = {"kernel": convert_conv(sd[f"{name}.conv.weight"]),
+                      "bias": jnp.asarray(_np(sd[f"{name}.conv.bias"]))}
+        params[name] = ep
+        if es:
+            stats[name] = es
+
+    encoder("feature_encoder", bn=False)
+    encoder("context_encoder", bn=large)
+
+    up: Dict[str, Any] = {}
+    me: Dict[str, Any] = {}
+    t = "update_block.motion_encoder"
+    for cna in ("convcorr1", "convcorr2", "convflow1", "convflow2", "conv"):
+        if f"{t}.{cna}.0.weight" in sd:
+            me[cna], _ = _raft_cna(sd, f"{t}.{cna}")
+    up["motion_encoder"] = me
+    rb: Dict[str, Any] = {}
+    for gi, gru in enumerate(("convgru1", "convgru2")):
+        if f"update_block.recurrent_block.{gru}.convz.weight" not in sd:
+            continue
+        rb[gru] = {
+            c: {"kernel": convert_conv(sd[f"update_block.recurrent_block.{gru}.{c}.weight"]),
+                "bias": jnp.asarray(_np(sd[f"update_block.recurrent_block.{gru}.{c}.bias"]))}
+            for c in ("convz", "convr", "convq")}
+    up["recurrent_block"] = rb
+    up["flow_head"] = {
+        c: {"kernel": convert_conv(sd[f"update_block.flow_head.{c}.weight"]),
+            "bias": jnp.asarray(_np(sd[f"update_block.flow_head.{c}.bias"]))}
+        for c in ("conv1", "conv2")}
+    params["update_block"] = up
+
+    if "mask_predictor.convrelu.0.weight" in sd:
+        mp: Dict[str, Any] = {}
+        mp["convrelu"], _ = _raft_cna(sd, "mask_predictor.convrelu")
+        mp["conv"] = {"kernel": convert_conv(sd["mask_predictor.conv.weight"]),
+                      "bias": jnp.asarray(_np(sd["mask_predictor.conv.bias"]))}
+        params["mask_predictor"] = mp
+
+    out: Dict[str, Any] = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+__all__ += ["raft_from_torch"]
+
+
+def _dense_t(sd: Mapping, prefix: str) -> Dict:
+    return {"kernel": convert_linear(sd[f"{prefix}.weight"]),
+            "bias": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+
+
+def _ln_t(sd: Mapping, prefix: str) -> Dict:
+    return {"scale": jnp.asarray(_np(sd[f"{prefix}.weight"])),
+            "bias": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+
+
+def maxvit_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision MaxVit state_dict -> our flax variables (reference
+    ``maxvit.py``: stem, blocks.B.layers.L.layers.{MBconv, window_attention,
+    grid_attention}, classifier).  maxvit_t layout: 4 stages of (2,2,5,2)
+    MaxVitLayers, every first layer stride 2."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    p, s = _cna(sd, "stem.0.0", "stem.0.1")
+    params["Conv_0"] = p["Conv_0"]
+    params["BatchNorm_0"] = p["BatchNorm_0"]
+    stats["BatchNorm_0"] = s["BatchNorm_0"]
+    params["Conv_1"] = _conv_b(sd, "stem.1.0")
+
+    def bn(prefix):
+        return _bn(sd, prefix)
+
+    def attention(t):
+        return {
+            "Dense_0": _dense_t(sd, f"{t}.to_qkv"),
+            "Dense_1": _dense_t(sd, f"{t}.merge"),
+            "rel_bias": jnp.asarray(_np(sd[f"{t}.relative_position_bias_table"])),
+        }
+
+    bi = 0
+    b = 0
+    while f"blocks.{b}.layers.0.layers.MBconv.layers.conv_a.0.weight" in sd:
+        li = 0
+        while f"blocks.{b}.layers.{li}.layers.MBconv.layers.conv_a.0.weight" in sd:
+            t = f"blocks.{b}.layers.{li}.layers"
+            mb: Dict[str, Any] = {}
+            mbs: Dict[str, Any] = {}
+            # first layer of each stage strides (proj conv created first)
+            ci = 0
+            if f"{t}.MBconv.proj.1.weight" in sd:
+                mb[f"Conv_{ci}"] = _conv_b(sd, f"{t}.MBconv.proj.1")
+                ci += 1
+            elif f"{t}.MBconv.proj.0.weight" in sd:
+                mb[f"Conv_{ci}"] = _conv_b(sd, f"{t}.MBconv.proj.0")
+                ci += 1
+            p, s = bn(f"{t}.MBconv.layers.pre_norm")
+            mb["BatchNorm_0"], mbs["BatchNorm_0"] = p, s
+            mb[f"Conv_{ci}"] = {"kernel": convert_conv(sd[f"{t}.MBconv.layers.conv_a.0.weight"])}
+            p, s = bn(f"{t}.MBconv.layers.conv_a.1")
+            mb["BatchNorm_1"], mbs["BatchNorm_1"] = p, s
+            mb[f"Conv_{ci + 1}"] = {"kernel": convert_conv(sd[f"{t}.MBconv.layers.conv_b.0.weight"])}
+            p, s = bn(f"{t}.MBconv.layers.conv_b.1")
+            mb["BatchNorm_2"], mbs["BatchNorm_2"] = p, s
+            mb["SqueezeExcitation_0"] = {
+                "Conv_0": _conv_b(sd, f"{t}.MBconv.layers.squeeze_excitation.fc1"),
+                "Conv_1": _conv_b(sd, f"{t}.MBconv.layers.squeeze_excitation.fc2"),
+            }
+            mb[f"Conv_{ci + 2}"] = _conv_b(sd, f"{t}.MBconv.layers.conv_c")
+            bp: Dict[str, Any] = {"MBConvBlock_0": mb}
+            bs: Dict[str, Any] = {"MBConvBlock_0": mbs}
+            for ai, at in enumerate(("window_attention", "grid_attention")):
+                bp[f"LayerNorm_{2 * ai}"] = _ln_t(sd, f"{t}.{at}.attn_layer.0")
+                bp[f"RelativeAttention_{ai}"] = attention(f"{t}.{at}.attn_layer.1")
+                bp[f"LayerNorm_{2 * ai + 1}"] = _ln_t(sd, f"{t}.{at}.mlp_layer.0")
+                bp[f"Dense_{2 * ai}"] = _dense_t(sd, f"{t}.{at}.mlp_layer.1")
+                bp[f"Dense_{2 * ai + 1}"] = _dense_t(sd, f"{t}.{at}.mlp_layer.3")
+            params[f"MaxVitBlock_{bi}"] = bp
+            stats[f"MaxVitBlock_{bi}"] = bs
+            bi += 1
+            li += 1
+        b += 1
+
+    params["LayerNorm_0"] = _ln_t(sd, "classifier.2")
+    params["Dense_0"] = _dense_t(sd, "classifier.3")
+    params["Dense_1"] = {"kernel": convert_linear(sd["classifier.5.weight"])}
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["maxvit_from_torch"]

@@ -16,8 +16,8 @@ from ._api import register_model
 __all__ = ["VideoResNet", "r3d_18", "mc3_18", "r2plus1d_18", "S3D", "s3d"]
 
 
-def _bn(train, dtype):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype)
+def _bn(train, dtype, eps=1e-5):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=eps, dtype=dtype)
 
 
 def _conv3d(features, kernel, strides=1, dtype=jnp.float32, name=None):
@@ -140,7 +140,8 @@ class S3D(nn.Module):
             if p is None:
                 p = [((ki - 1) // 2,) * 2 for ki in k]
             x = nn.Conv(c, k, s, padding=p, use_bias=False, dtype=self.dtype)(x)
-            x = _bn(train, self.dtype)(x)
+            # reference s3d.py:114: BatchNorm3d(eps=0.001)
+            x = _bn(train, self.dtype, eps=1e-3)(x)
             return nn.relu(x)
 
         def sep(x, c, k=3, s=1):
@@ -175,11 +176,16 @@ class S3D(nn.Module):
         x = mp(x, (2, 2, 2), (2, 2, 2), [(0, 0)] * 3)
         x = inception(x, 256, 160, 320, 32, 128, 128)
         x = inception(x, 384, 192, 384, 48, 128, 128)
-        # avgpool (2,7,7) + dropout + 1x1x1 conv classifier + time-mean
-        x = jnp.mean(x, axis=(1, 2, 3), keepdims=True)[:, 0]
+        # reference S3D.forward: AvgPool3d((2,7,7), stride=1) -> dropout ->
+        # 1x1x1 conv classifier -> mean over (T,H,W).  The stride-1 window
+        # weights interior frames more than a plain global mean — keep the
+        # sliding pool (kernel clamped for tiny test inputs).
+        kt, kh, kw = min(2, x.shape[1]), min(7, x.shape[2]), min(7, x.shape[3])
+        x = nn.avg_pool(x, (kt, kh, kw), (1, 1, 1))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(x)
-        return x[:, 0, 0, :]
+        n, t, h, w, c = x.shape
+        x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(x.reshape(n, t * h, w, c))
+        return jnp.mean(x, axis=(1, 2))
 
 
 @register_model("r3d_18")

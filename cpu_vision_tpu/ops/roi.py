@@ -25,7 +25,7 @@ Layout: features are (N, H, W, C); ``rois`` are (K, 5) rows of
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -199,22 +199,44 @@ def ps_roi_align(
     return jnp.moveaxis(sel, (0, 1), (1, 2))
 
 
+def _exact_cell_bound(extent: int, bins: int) -> int:
+    """Static upper bound on cells per pooling bin.
+
+    Bin boundaries are ``floor(p*b)`` / ``ceil((p+1)*b)`` with cell size
+    ``b <= extent / bins`` (coordinates clipped to ``[0, extent]``), so a bin
+    spans at most ``ceil(b) + 1 <= ceil(extent / bins) + 1`` integer cells.
+    """
+    return -(-extent // bins) + 1
+
+
 def roi_pool(
     features: jax.Array,
     rois: jax.Array,
     output_size: Union[int, Sequence[int]],
     spatial_scale: float = 1.0,
-    max_cells: int = 16,
+    max_cells: Optional[int] = None,
 ) -> jax.Array:
     """RoIPool max pooling -> (K, PH, PW, C).
 
-    Reference semantics (``csrc/ops/cpu/roi_pool_kernel.cpp``): integer bin
-    boundaries ``floor/ceil(p * roi_size / P)`` on the rounded roi, max over
-    cells; empty bins yield 0.  Bins wider than ``max_cells`` cells are
-    subsampled on a ``max_cells`` lattice (static-shape bound).
+    Reference semantics (``csrc/ops/cpu/roi_pool_kernel.cpp:20-80``): integer
+    bin boundaries ``floor/ceil(p * roi_size / P)`` on the rounded roi, max
+    over cells; empty bins yield 0.  The per-bin cell grid is statically
+    sized at the exact worst case derived from the feature-map shape
+    (``_exact_cell_bound``), so the result is exact for every RoI.  Passing
+    ``max_cells`` smaller than that bound is a hard error (a silent cap
+    could drop the true max for large RoIs).
     """
     ph_out, pw_out = _as_pair(output_size)
     n, h, w, c = features.shape
+    need = max(_exact_cell_bound(h, ph_out), _exact_cell_bound(w, pw_out))
+    if max_cells is None:
+        max_cells = need
+    elif max_cells < need:
+        raise ValueError(
+            f"roi_pool: max_cells={max_cells} cannot cover the worst-case bin "
+            f"({need} cells for a {h}x{w} feature map with output_size "
+            f"{(ph_out, pw_out)}); pass max_cells>={need} or None for exact"
+        )
     k = rois.shape[0]
     batch_ind = rois[:, 0].astype(jnp.int32)
     start_w = jnp.round(rois[:, 1] * spatial_scale)
@@ -266,13 +288,22 @@ def ps_roi_pool(
     rois: jax.Array,
     output_size: Union[int, Sequence[int]],
     spatial_scale: float = 1.0,
-    max_cells: int = 16,
+    max_cells: Optional[int] = None,
 ) -> jax.Array:
     """Position-sensitive RoIPool (average over cells, channel block per
     bin) -> (K, PH, PW, C_out).  Reference
-    ``csrc/ops/cpu/ps_roi_pool_kernel.cpp`` (avg, not max)."""
+    ``csrc/ops/cpu/ps_roi_pool_kernel.cpp`` (avg, not max).  Cell grid
+    statically sized at the exact worst case (see :func:`roi_pool`)."""
     ph_out, pw_out = _as_pair(output_size)
     n, h, w, c = features.shape
+    need = max(_exact_cell_bound(h, ph_out), _exact_cell_bound(w, pw_out))
+    if max_cells is None:
+        max_cells = need
+    elif max_cells < need:
+        raise ValueError(
+            f"ps_roi_pool: max_cells={max_cells} cannot cover the worst-case "
+            f"bin ({need} cells); pass max_cells>={need} or None for exact"
+        )
     if c % (ph_out * pw_out) != 0:
         raise ValueError(f"channels {c} not divisible by {ph_out * pw_out}")
     c_out = c // (ph_out * pw_out)

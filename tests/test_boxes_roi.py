@@ -126,6 +126,22 @@ class TestRoiPool:
         ours = np.asarray(ops.roi_pool(jnp.asarray(x), jnp.asarray(rois), (4, 3), 1.0))
         np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref, atol=1e-5)
 
+    def test_exact_for_huge_bins(self, rng):
+        """One output bin spanning the whole map — exact max with the
+        auto-sized cell grid (reference roi_pool_kernel.cpp:20-80 computes
+        exact max over arbitrary bins)."""
+        x = rng.random((1, 60, 60, 1), dtype=np.float32)
+        rois = np.array([[0, 0.0, 0.0, 59.0, 59.0]], np.float32)
+        ref = oracle.roi_pool(_nchw(x), rois, (1, 1), 1.0)
+        ours = np.asarray(ops.roi_pool(jnp.asarray(x), jnp.asarray(rois), (1, 1), 1.0))
+        np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref, atol=0)
+
+    def test_insufficient_max_cells_is_loud(self, rng):
+        x = jnp.asarray(rng.random((1, 60, 60, 1), dtype=np.float32))
+        rois = jnp.asarray([[0, 0.0, 0.0, 59.0, 59.0]], jnp.float32)
+        with pytest.raises(ValueError, match="max_cells"):
+            ops.roi_pool(x, rois, (1, 1), 1.0, max_cells=16)
+
 
 class TestPsRoiAlign:
     def test_matches_cpp_loop(self, rng):

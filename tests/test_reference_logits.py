@@ -275,3 +275,137 @@ class TestMNASNetLogits:
             ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
         out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def _damp_convs(tm, factor=0.25):
+    """Scale conv/fc weights down so activations stay O(1); random inits of
+    deep nets (inception esp.) otherwise amplify f32 noise exponentially,
+    hiding real wiring errors behind loose tolerances."""
+    import torch
+
+    with torch.no_grad():
+        for n, p in tm.named_parameters():
+            if n.endswith(".weight") and p.dim() >= 2:
+                p.mul_(factor)
+    return tm
+
+
+class TestSqueezeNetLogits:
+    @pytest.mark.parametrize("name,size", [("squeezenet1_0", 96), ("squeezenet1_1", 100)])
+    def test_converted_matches_reference(self, tvm, name, size):
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import squeezenet_from_torch
+
+        torch.manual_seed(0)
+        tm = getattr(tvm, name)().eval()
+        variables = squeezenet_from_torch(tm.state_dict())
+        ours = models.get_model(name, num_classes=1000)
+        x = np.random.default_rng(0).random((2, size, size, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestInception3Logits:
+    def test_converted_matches_reference_bitexact(self, tvm):
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import inception3_from_torch
+
+        torch.manual_seed(0)
+        tm = _damp_convs(tvm.inception_v3(init_weights=True, transform_input=False).eval())
+        variables = inception3_from_torch(tm.state_dict())
+        ours = models.get_model("inception_v3", num_classes=1000)
+        x = np.random.default_rng(0).random((1, 112, 112, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+class TestVideoResNetLogits:
+    @pytest.mark.parametrize("name", ["r3d_18", "mc3_18", "r2plus1d_18"])
+    def test_converted_matches_reference(self, tvm, name):
+        import torch
+        from torchvision.models import video as tvv
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import video_resnet_from_torch
+
+        torch.manual_seed(0)
+        tm = _damp_convs(getattr(tvv, name)().eval(), 0.5)
+        variables = video_resnet_from_torch(tm.state_dict(), name)
+        ours = models.get_model(name, num_classes=400)
+        x = np.random.default_rng(0).random((1, 8, 56, 56, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 4, 1, 2, 3))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+class TestS3DLogits:
+    def test_converted_matches_reference(self, tvm):
+        import torch
+        from torchvision.models import video as tvv
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import s3d_from_torch
+
+        torch.manual_seed(0)
+        tm = _damp_convs(tvv.s3d().eval(), 0.4)
+        variables = s3d_from_torch(tm.state_dict())
+        ours = models.get_model("s3d", num_classes=400)
+        # H=W=224 so the reference's fixed AvgPool3d((2,7,7)) window applies
+        x = np.random.default_rng(0).random((1, 16, 224, 224, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 4, 1, 2, 3))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+class TestRAFTFlows:
+    @pytest.mark.parametrize("name", ["raft_small", "raft_large"])
+    def test_converted_matches_reference(self, tvm, name):
+        import torch
+        from torchvision.models import optical_flow as tvf
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import raft_from_torch
+
+        torch.manual_seed(0)
+        tm = getattr(tvf, name)().eval()
+        assert (sum(p.numel() for p in tm.parameters())
+                == {"raft_small": 990162, "raft_large": 5257536}[name])
+        variables = raft_from_torch(tm.state_dict(), name)
+        ours = models.get_model(name, iters=3)
+        x1 = np.random.default_rng(0).random((1, 128, 128, 3), np.float32) * 2 - 1
+        x2 = np.random.default_rng(1).random((1, 128, 128, 3), np.float32) * 2 - 1
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x1.transpose(0, 3, 1, 2)),
+                     torch.from_numpy(x2.transpose(0, 3, 1, 2)), num_flow_updates=3)
+        out = ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2), train=False)
+        for o, r in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(o), r.numpy().transpose(0, 2, 3, 1),
+                                       atol=1e-4)
+
+
+class TestMaxVitLogits:
+    def test_converted_matches_reference(self, tvm):
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import maxvit_from_torch
+
+        torch.manual_seed(0)
+        tm = tvm.maxvit_t().eval()
+        variables = maxvit_from_torch(tm.state_dict())
+        ours = models.get_model("maxvit_t", num_classes=1000)
+        x = np.random.default_rng(0).random((1, 224, 224, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -23,6 +23,26 @@ class TestNamespaceParity:
                          if t and t[0].isupper())
         assert sorted(n for n in names if not hasattr(T, n)) == []
 
+    def test_v2_submodule_alias(self):
+        """``from <pkg>.transforms import v2`` drop-in import parity
+        (reference ``torchvision/transforms/v2/__init__.py``)."""
+        from cpu_vision_tpu.transforms import v2
+        import cpu_vision_tpu.transforms.v2.functional as v2F
+
+        assert v2.Resize is T.Resize
+        assert v2.Compose is T.Compose
+        assert v2.InterpolationMode is T.InterpolationMode
+        assert v2F is T.functional
+        # every flat-namespace class is reachable through v2 too
+        src = open("/root/reference/torchvision/transforms/v2/__init__.py").read()
+        names = set()
+        for m in re.finditer(r"from \.[\w.]* import (.+?)(?=\nfrom|\nimport|\Z)",
+                             src, re.S):
+            chunk = m.group(1).replace("(", " ").replace(")", " ")
+            names.update(t for t in re.split(r"[,\s]+", chunk)
+                         if t and t[0].isupper())
+        assert sorted(n for n in names if not hasattr(v2, n)) == []
+
 
 class TestInterop:
     @pytest.fixture()
