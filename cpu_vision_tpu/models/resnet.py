@@ -139,7 +139,10 @@ class ResNet(nn.Module):
         dilation = 1
         for i, (width, n_blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
             stage_stride = 2 if i > 0 else 1
-            # reference _make_layer: dilate instead of striding when requested
+            # reference _make_layer: dilate instead of striding when requested;
+            # the stage's FIRST block keeps the previous dilation
+            # (resnet.py:_make_layer previous_dilation)
+            prev_dilation = dilation
             if i > 0 and self.replace_stride_with_dilation[i - 1]:
                 dilation *= stage_stride
                 stage_stride = 1
@@ -157,7 +160,7 @@ class ResNet(nn.Module):
                     name=f"layer{i + 1}_{j}",
                 )
                 if self.block is Bottleneck:
-                    block_kwargs["dilation"] = dilation
+                    block_kwargs["dilation"] = prev_dilation if j == 0 else dilation
                 x = self.block(width, **block_kwargs)(x, train=train)
             feats[f"layer{i + 1}"] = x
         if features_only:

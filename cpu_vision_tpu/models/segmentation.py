@@ -149,17 +149,17 @@ class MobileNetV3Backbone(nn.Module):
     def __call__(self, x, train: bool = False, features_only: bool = True):
         from .mobilenet import _V3_LARGE, ConvNormActivation, V3Block, hardswish
 
-        y = ConvNormActivation(16, 3, 2, activation=hardswish, dtype=self.dtype)(x, train)
+        y = ConvNormActivation(16, 3, 2, activation=hardswish, eps=1e-3, dtype=self.dtype)(x, train)
         aux = None
         # dilation 2 replaces stride in the last stage when dilated
         # (reference _mobilenet_v3_conf dilation arg, mobilenetv3.py:227-248)
         for i, (k, exp, out_c, se, hs, s) in enumerate(_V3_LARGE):
             dil = 2 if (self.dilated and i >= 12) else 1
             y = V3Block(out_c, k, exp, se, hs, s, dilation=dil, dtype=self.dtype)(y, train)
-            if i == 6:  # features index 7 = reference aux_pos
+            if i == 3:  # features index 4 = reference aux_pos (stage_indices[-4])
                 aux = y
         out = ConvNormActivation(6 * y.shape[-1], 1, activation=hardswish,
-                                 dtype=self.dtype)(y, train)
+                                 eps=1e-3, dtype=self.dtype)(y, train)
         return {"layer3": aux, "layer4": out}
 
 
@@ -176,13 +176,13 @@ class LRASPP(nn.Module):
         from .mobilenet import _V3_LARGE, V3Block, ConvNormActivation, hardswish
 
         size = (x.shape[1], x.shape[2])
-        y = ConvNormActivation(16, 3, 2, activation=hardswish, dtype=self.dtype)(x, train)
+        y = ConvNormActivation(16, 3, 2, activation=hardswish, eps=1e-3, dtype=self.dtype)(x, train)
         low = high = y
         for i, (k, exp, out_c, se, hs, s) in enumerate(_V3_LARGE):
             y = V3Block(out_c, k, exp, se, hs, s, dtype=self.dtype)(y, train)
             if i == 3:  # C2-level low features (stride 8)
                 low = y
-        high = ConvNormActivation(6 * y.shape[-1], 1, activation=hardswish, dtype=self.dtype)(y, train)
+        high = ConvNormActivation(6 * y.shape[-1], 1, activation=hardswish, eps=1e-3, dtype=self.dtype)(y, train)
 
         h = nn.Conv(self.inter_channels, (1, 1), use_bias=False, dtype=self.dtype)(high)
         h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)

@@ -66,7 +66,8 @@ def _bn(sd: Mapping, prefix: str) -> Tuple[Dict, Dict]:
     return params, stats
 
 
-def resnet_from_torch(state_dict: Mapping, layers: Tuple[int, ...], bottleneck: bool) -> Dict:
+def resnet_from_torch(state_dict: Mapping, layers: Tuple[int, ...], bottleneck: bool,
+                      with_fc: bool = True) -> Dict:
     """Convert a torchvision ResNet ``state_dict`` to our flax variables.
 
     ``layers`` e.g. (2, 2, 2, 2) for resnet18; ``bottleneck`` selects the
@@ -104,10 +105,11 @@ def resnet_from_torch(state_dict: Mapping, layers: Tuple[int, ...], bottleneck: 
             params[name] = bp
             stats[name] = bs
 
-    params["Dense_0"] = {
-        "kernel": convert_linear(sd["fc.weight"]),
-        "bias": jnp.asarray(_np(sd["fc.bias"])),
-    }
+    if with_fc:
+        params["Dense_0"] = {
+            "kernel": convert_linear(sd["fc.weight"]),
+            "bias": jnp.asarray(_np(sd["fc.bias"])),
+        }
     return {"params": params, "batch_stats": stats}
 
 
@@ -1122,3 +1124,182 @@ def maxvit_from_torch(state_dict: Mapping) -> Dict:
 
 
 __all__ += ["maxvit_from_torch"]
+
+
+def mvit_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision (video) MViT state_dict -> our flax variables (reference
+    ``video/mvit.py``; our module names mirror the torch attribute names:
+    conv_proj, pos_encoding, blocks.N.{norm1, attn.{qkv, project.0,
+    pool_q/k/v.{pool, norm_act.0}, rel_pos_*}, norm2, mlp.{0,3}, project},
+    norm, head.1)."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+
+    params["conv_proj"] = {"kernel": convert_conv3d(sd["conv_proj.weight"]),
+                           "bias": jnp.asarray(_np(sd["conv_proj.bias"]))}
+    pe: Dict[str, Any] = {"class_token": jnp.asarray(_np(sd["pos_encoding.class_token"]).reshape(-1))}
+    if "pos_encoding.spatial_pos" in sd:
+        pe["spatial_pos"] = jnp.asarray(_np(sd["pos_encoding.spatial_pos"]))
+        pe["temporal_pos"] = jnp.asarray(_np(sd["pos_encoding.temporal_pos"]))
+        pe["class_pos"] = jnp.asarray(_np(sd["pos_encoding.class_pos"]).reshape(-1))
+    params["pos_encoding"] = pe
+
+    i = 0
+    while f"blocks.{i}.norm1.weight" in sd:
+        t = f"blocks.{i}"
+        bp: Dict[str, Any] = {
+            "norm1": _ln_t(sd, f"{t}.norm1"),
+            "norm2": _ln_t(sd, f"{t}.norm2"),
+            "mlp_fc1": _dense_t(sd, f"{t}.mlp.0"),
+            "mlp_fc2": _dense_t(sd, f"{t}.mlp.3"),
+        }
+        at: Dict[str, Any] = {
+            "qkv": _dense_t(sd, f"{t}.attn.qkv"),
+            "project": _dense_t(sd, f"{t}.attn.project.0"),
+        }
+        for pool in ("pool_q", "pool_k", "pool_v"):
+            if f"{t}.attn.{pool}.pool.weight" in sd:
+                at[pool] = {
+                    "pool_conv": {"kernel": convert_conv3d(sd[f"{t}.attn.{pool}.pool.weight"])},
+                    "norm": _ln_t(sd, f"{t}.attn.{pool}.norm_act.0"),
+                }
+        for rp in ("rel_pos_h", "rel_pos_w", "rel_pos_t"):
+            if f"{t}.attn.{rp}" in sd:
+                at[rp] = jnp.asarray(_np(sd[f"{t}.attn.{rp}"]))
+        bp["attn"] = at
+        if f"{t}.project.weight" in sd:
+            bp["project"] = _dense_t(sd, f"{t}.project")
+        params[f"block{i}"] = bp
+        i += 1
+
+    params["norm"] = _ln_t(sd, "norm")
+    params["head"] = _dense_t(sd, "head.1")
+    return {"params": params}
+
+
+__all__ += ["mvit_from_torch"]
+
+
+def _subdict(sd: Mapping, prefix: str) -> Dict:
+    pl = len(prefix) + 1
+    return {k[pl:]: v for k, v in sd.items() if k.startswith(prefix + ".")}
+
+
+def _fcn_head(sd: Mapping, prefix: str) -> Tuple[Dict, Dict]:
+    """torch FCNHead Sequential (0 conv, 1 bn, 4 conv) -> our FCNHead."""
+    p: Dict[str, Any] = {"Conv_0": {"kernel": convert_conv(sd[f"{prefix}.0.weight"])}}
+    bn_p, bn_s = _bn(sd, f"{prefix}.1")
+    p["BatchNorm_0"] = bn_p
+    p["Conv_1"] = _conv_b(sd, f"{prefix}.4")
+    return p, {"BatchNorm_0": bn_s}
+
+
+def _mobilenet_v3_backbone(sd: Mapping) -> Tuple[Dict, Dict]:
+    """torch IntermediateLayerGetter over MobileNetV3-Large features
+    ("0".."16") -> our inline backbone subtree (stem CNA_0, V3Block_0..14,
+    head CNA_1).  Shared by the segmentation and detection wrappers."""
+    from .mobilenet import _V3_LARGE
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    p, s = _cna(sd, "0.0", "0.1")
+    params["ConvNormActivation_0"], stats["ConvNormActivation_0"] = p, s
+    in_c = 16
+    for bi, (k, exp, out_c, se, hs, stride) in enumerate(_V3_LARGE):
+        t = f"{bi + 1}.block"
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        li = ci = 0
+        if exp != in_c:
+            p, s = _cna(sd, f"{t}.{li}.0", f"{t}.{li}.1")
+            bp[f"ConvNormActivation_{ci}"], bs[f"ConvNormActivation_{ci}"] = p, s
+            li += 1
+            ci += 1
+        p, s = _cna(sd, f"{t}.{li}.0", f"{t}.{li}.1")
+        bp[f"ConvNormActivation_{ci}"], bs[f"ConvNormActivation_{ci}"] = p, s
+        li += 1
+        ci += 1
+        if se:
+            bp["SqueezeExcitation_0"] = {
+                "Conv_0": _conv_b(sd, f"{t}.{li}.fc1"),
+                "Conv_1": _conv_b(sd, f"{t}.{li}.fc2"),
+            }
+            li += 1
+        p, s = _cna(sd, f"{t}.{li}.0", f"{t}.{li}.1")
+        bp[f"ConvNormActivation_{ci}"], bs[f"ConvNormActivation_{ci}"] = p, s
+        params[f"V3Block_{bi}"] = bp
+        stats[f"V3Block_{bi}"] = bs
+        in_c = out_c
+    p, s = _cna(sd, "16.0", "16.1")
+    params["ConvNormActivation_1"], stats["ConvNormActivation_1"] = p, s
+    return params, stats
+
+
+def segmentation_from_torch(state_dict: Mapping, arch: str) -> Dict:
+    """torchvision segmentation state_dict -> our flax variables.
+
+    ``arch``: fcn_resnet50/101, deeplabv3_resnet50/101,
+    deeplabv3_mobilenet_v3_large, lraspp_mobilenet_v3_large (reference
+    ``segmentation/{fcn,deeplabv3,lraspp}.py``)."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    has_aux = any(k.startswith("aux_classifier.") for k in sd)
+
+    if arch == "lraspp_mobilenet_v3_large":
+        bb = _subdict(sd, "backbone")
+        p, s = _mobilenet_v3_backbone(bb)
+        params.update(p)
+        stats.update(s)
+        params["Conv_0"] = {"kernel": convert_conv(sd["classifier.cbr.0.weight"])}
+        bn_p, bn_s = _bn(sd, "classifier.cbr.1")
+        params["BatchNorm_0"], stats["BatchNorm_0"] = bn_p, bn_s
+        params["Conv_1"] = {"kernel": convert_conv(sd["classifier.scale.1.weight"])}
+        params["Conv_2"] = _conv_b(sd, "classifier.high_classifier")
+        params["Conv_3"] = _conv_b(sd, "classifier.low_classifier")
+        return {"params": params, "batch_stats": stats}
+
+    if "mobilenet" in arch:
+        bp, bs = _mobilenet_v3_backbone(_subdict(sd, "backbone"))
+    else:
+        layers = (3, 4, 6, 3) if "resnet50" in arch else (3, 4, 23, 3)
+        bbvars = resnet_from_torch(_subdict(sd, "backbone"), layers, True, with_fc=False)
+        bp, bs = bbvars["params"], bbvars["batch_stats"]
+    params["backbone"] = bp
+    stats["backbone"] = bs
+
+    if arch.startswith("fcn"):
+        p, s = _fcn_head(sd, "classifier")
+        params["FCNHead_0"], stats["FCNHead_0"] = p, s
+        if has_aux:
+            p, s = _fcn_head(sd, "aux_classifier")
+            params["FCNHead_1"], stats["FCNHead_1"] = p, s
+        return {"params": params, "batch_stats": stats}
+
+    # deeplabv3: classifier.0 = ASPP, classifier.{1,2} conv+bn, classifier.4
+    ap: Dict[str, Any] = {}
+    as_: Dict[str, Any] = {}
+    # convs.0 (1x1), convs.1-3 (rates), convs.4 (pool: [0]=pool, [1]=conv...)
+    for ci in range(4):
+        t = f"classifier.0.convs.{ci}"
+        ap[f"Conv_{ci}"] = {"kernel": convert_conv(sd[f"{t}.0.weight"])}
+        p, s = _bn(sd, f"{t}.1")
+        ap[f"BatchNorm_{ci}"], as_[f"BatchNorm_{ci}"] = p, s
+    ap["Conv_4"] = {"kernel": convert_conv(sd["classifier.0.convs.4.1.weight"])}
+    p, s = _bn(sd, "classifier.0.convs.4.2")
+    ap["BatchNorm_4"], as_["BatchNorm_4"] = p, s
+    ap["Conv_5"] = {"kernel": convert_conv(sd["classifier.0.project.0.weight"])}
+    p, s = _bn(sd, "classifier.0.project.1")
+    ap["BatchNorm_5"], as_["BatchNorm_5"] = p, s
+    params["ASPP_0"], stats["ASPP_0"] = ap, as_
+    params["Conv_0"] = {"kernel": convert_conv(sd["classifier.1.weight"])}
+    p, s = _bn(sd, "classifier.2")
+    params["BatchNorm_0"], stats["BatchNorm_0"] = p, s
+    params["Conv_1"] = _conv_b(sd, "classifier.4")
+    if has_aux:
+        p, s = _fcn_head(sd, "aux_classifier")
+        params["FCNHead_0"], stats["FCNHead_0"] = p, s
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["segmentation_from_torch"]

@@ -409,3 +409,51 @@ class TestMaxVitLogits:
             ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
         out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestMViTLogits:
+    @pytest.mark.parametrize("name", ["mvit_v1_b", "mvit_v2_s"])
+    def test_converted_matches_reference(self, tvm, name):
+        import torch
+        from torchvision.models import video as tvv
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import mvit_from_torch
+
+        torch.manual_seed(0)
+        tm = getattr(tvv, name)().eval()
+        variables = mvit_from_torch(tm.state_dict())
+        ours = models.get_model(name, num_classes=400)
+        x = np.random.default_rng(0).random((1, 16, 224, 224, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 4, 1, 2, 3))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+class TestSegmentationLogits:
+    @pytest.mark.parametrize("name", [
+        "fcn_resnet50", "deeplabv3_resnet50",
+        "deeplabv3_mobilenet_v3_large", "lraspp_mobilenet_v3_large"])
+    def test_converted_matches_reference(self, tvm, name):
+        import torch
+        from torchvision.models import segmentation as tvs
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import segmentation_from_torch
+
+        torch.manual_seed(0)
+        kw = {"weights_backbone": None}
+        okw = {}
+        if not name.startswith("lraspp"):
+            kw["aux_loss"] = okw["aux_loss"] = True
+        tm = getattr(tvs, name)(**kw).eval()
+        variables = segmentation_from_torch(tm.state_dict(), name)
+        ours = models.get_model(name, num_classes=21, **okw)
+        x = np.random.default_rng(0).random((1, 128, 128, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        out = ours.apply(variables, jnp.asarray(x), train=False)
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(out[k]), ref[k].numpy().transpose(0, 2, 3, 1), atol=1e-4)
