@@ -41,14 +41,21 @@ class FeaturePyramidNetwork(nn.Module):
                 f"inner_bn_{n}")
             for n in names
         ]
-        # top-down: upsample by 2 (nearest) and add
+        # top-down: nearest-resize to the target level's size and add
+        # (reference F.interpolate(last_inner, size=feat_shape, mode="nearest"))
         results = [None] * len(laterals)
         last = laterals[-1]
         results[-1] = last
         for i in range(len(laterals) - 2, -1, -1):
             target = laterals[i]
-            up = jnp.repeat(jnp.repeat(last, 2, axis=1), 2, axis=2)
-            up = up[:, : target.shape[1], : target.shape[2], :]
+            th, tw = target.shape[1], target.shape[2]
+            sh, sw = last.shape[1], last.shape[2]
+            if (sh, sw) != (th, tw):
+                iy = (jnp.arange(th) * sh) // th
+                ix = (jnp.arange(tw) * sw) // tw
+                up = last[:, iy][:, :, ix]
+            else:
+                up = last
             last = target + up
             results[i] = last
         outs = {

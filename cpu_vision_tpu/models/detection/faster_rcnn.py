@@ -38,14 +38,14 @@ class MobileNetV3DetFeatures(nn.Module):
     def __call__(self, x, train: bool = False, features_only: bool = True):
         from ..mobilenet import _V3_LARGE, ConvNormActivation, V3Block, hardswish
 
-        y = ConvNormActivation(16, 3, 2, activation=hardswish, dtype=self.dtype)(x, train)
+        y = ConvNormActivation(16, 3, 2, activation=hardswish, eps=1e-5, dtype=self.dtype)(x, train)
         c4 = None
         for i, (k, exp, out_c, se, hs, s) in enumerate(_V3_LARGE):
-            y = V3Block(out_c, k, exp, se, hs, s, dtype=self.dtype)(y, train)
+            y = V3Block(out_c, k, exp, se, hs, s, eps=1e-5, dtype=self.dtype)(y, train)
             if i == 12:  # C4 stage boundary (reference stage_indices[-2])
                 c4 = y
         out = ConvNormActivation(6 * y.shape[-1], 1, activation=hardswish,
-                                 dtype=self.dtype)(y, train)
+                                 eps=1e-5, dtype=self.dtype)(y, train)
         return {"layer3": c4, "layer4": out}
 
 
@@ -60,6 +60,8 @@ class FasterRCNN(nn.Module):
     rpn_pre_nms_top_n: int = 1000
     rpn_post_nms_top_n: int = 512
     max_detections: int = 100
+    box_score_thresh: float = 0.05
+    box_nms_thresh: float = 0.5
     variant: str = "v1"  # "v1" | "v2"
     backbone_name: str = "resnet50"  # "resnet50" | "mobilenet_v3_large"
     dtype: Any = jnp.float32
@@ -101,6 +103,8 @@ class FasterRCNN(nn.Module):
         self.roi_heads = RoIHeads(
             num_classes=self.num_classes,
             max_detections=self.max_detections,
+            score_thresh=self.box_score_thresh,
+            nms_thresh=self.box_nms_thresh,
             box_head_type="convfc" if self.variant == "v2" else "mlp",
             dtype=self.dtype,
         )

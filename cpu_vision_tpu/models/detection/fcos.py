@@ -95,9 +95,12 @@ class FCOS(nn.Module):
         for f in features:
             h, w = f.shape[1], f.shape[2]
             stride = ih // h
+            # reference FCOS anchors are zero-area-ish boxes centered at
+            # x*stride (AnchorGenerator shifts carry no +0.5 offset;
+            # BoxLinearCoder then decodes around those centers)
             ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-            cx = (xs.reshape(-1) + 0.5) * stride
-            cy = (ys.reshape(-1) + 0.5) * stride
+            cx = xs.reshape(-1).astype(np.float32) * stride
+            cy = ys.reshape(-1).astype(np.float32) * stride
             pts.append(np.stack([cx, cy], -1))
             strides.append(np.full((h * w,), stride, np.float32))
         return jnp.asarray(np.concatenate(pts).astype(np.float32)), jnp.asarray(np.concatenate(strides))
@@ -167,8 +170,15 @@ class FCOS(nn.Module):
             "bbox_ctrness": ctr_l.mean(),
         }
 
-    def postprocess(self, cls_logits, reg, ctr, locs, strides, image_size):
-        """sqrt(cls·ctrness) scores + NMS (reference ``fcos.py:postprocess_detections``)."""
+    def postprocess(self, cls_logits, reg, ctr, locs, strides, image_size,
+                    level_sizes: Sequence[int] | None = None):
+        """sqrt(cls·ctrness) scores + NMS (reference
+        ``fcos.py:postprocess_detections``).  Pass ``level_sizes`` (locations
+        per FPN level) for the reference's per-level top-k selection."""
+        if level_sizes is not None:
+            offsets = [0]
+            for s in level_sizes:
+                offsets.append(offsets[-1] + s)
 
         def per_image(logits, ltrb, ctrness):
             scores = jnp.sqrt(jax.nn.sigmoid(logits) * jax.nn.sigmoid(ctrness)[:, None])
@@ -176,14 +186,26 @@ class FCOS(nn.Module):
                 [locs[:, 0] - ltrb[:, 0] * strides, locs[:, 1] - ltrb[:, 1] * strides,
                  locs[:, 0] + ltrb[:, 2] * strides, locs[:, 1] + ltrb[:, 3] * strides], -1)
             boxes = clip_boxes_to_image(boxes, image_size)
-            flat = scores.reshape(-1)
-            k = min(self.topk_candidates, flat.shape[0])
-            top_s, top_i = jax.lax.top_k(jnp.where(flat > self.score_thresh, flat, 0.0), k)
+            thr = jnp.where(scores > self.score_thresh, scores, 0.0)
+            if level_sizes is None:
+                flat = thr.reshape(-1)
+                k = min(self.topk_candidates, flat.shape[0])
+                top_s, top_i = jax.lax.top_k(flat, k)
+            else:
+                per_s, per_i = [], []
+                for li, s in enumerate(level_sizes):
+                    lflat = thr[offsets[li]: offsets[li + 1]].reshape(-1)
+                    lk = min(self.topk_candidates, lflat.shape[0])
+                    ts, ti = jax.lax.top_k(lflat, lk)
+                    per_s.append(ts)
+                    per_i.append(ti + offsets[li] * self.num_classes)
+                top_s = jnp.concatenate(per_s)
+                top_i = jnp.concatenate(per_i)
             p_idx = top_i // self.num_classes
             c_idx = top_i % self.num_classes
             keep = batched_nms(boxes[p_idx], top_s, c_idx, self.nms_thresh)
             final = jnp.where(keep, top_s, -1.0)
-            k2 = min(self.max_detections, k)
+            k2 = min(self.max_detections, final.shape[0])
             sel_s, sel = jax.lax.top_k(final, k2)
             valid = sel_s > 0
             return {

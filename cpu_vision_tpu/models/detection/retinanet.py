@@ -84,8 +84,10 @@ class RetinaNet(nn.Module):
     """(reference ``RetinaNet``, ``retinanet.py:319-620``)."""
 
     num_classes: int = 91
+    # reference _default_anchorgen truncates the intermediate scales to int
+    # (retinanet.py:51)
     anchor_sizes: Sequence[Sequence[float]] = tuple(
-        tuple(s * r for r in (1.0, 2 ** (1 / 3), 2 ** (2 / 3))) for s in (32, 64, 128, 256, 512)
+        (s, int(s * 2 ** (1 / 3)), int(s * 2 ** (2 / 3))) for s in (32, 64, 128, 256, 512)
     )
     aspect_ratios: Sequence[Sequence[float]] = ((0.5, 1.0, 2.0),) * 5
     fg_iou_thresh: float = 0.5
@@ -179,16 +181,35 @@ class RetinaNet(nn.Module):
         bbox_deltas: jnp.ndarray,
         anchors: jnp.ndarray,
         image_size: Tuple[int, int],
+        level_sizes: Sequence[int] | None = None,
     ) -> Dict[str, jnp.ndarray]:
         """Decode + threshold + batched NMS -> fixed-size detections
         (reference ``postprocess_detections``, ``retinanet.py:392-466``).
+        The reference selects ``topk_candidates`` PER LEVEL before NMS; pass
+        ``level_sizes`` (anchors per FPN level) to reproduce that exactly —
+        without it the top-k is global over all levels.
         Returns dict of (N, max_detections) arrays + 'valid' mask."""
+        if level_sizes is not None:
+            offsets = [0]
+            for s in level_sizes:
+                offsets.append(offsets[-1] + s)
 
         def per_image(logits, deltas):
             scores = jax.nn.sigmoid(logits)  # (A, C)
-            flat = scores.reshape(-1)
-            k = min(self.topk_candidates, flat.shape[0])
-            top_scores, top_idx = jax.lax.top_k(flat, k)
+            if level_sizes is None:
+                flat = scores.reshape(-1)
+                k = min(self.topk_candidates, flat.shape[0])
+                top_scores, top_idx = jax.lax.top_k(flat, k)
+            else:
+                per_level_s, per_level_i = [], []
+                for li, s in enumerate(level_sizes):
+                    lflat = scores[offsets[li]: offsets[li + 1]].reshape(-1)
+                    lk = min(self.topk_candidates, lflat.shape[0])
+                    ts, ti = jax.lax.top_k(lflat, lk)
+                    per_level_s.append(ts)
+                    per_level_i.append(ti + offsets[li] * self.num_classes)
+                top_scores = jnp.concatenate(per_level_s)
+                top_idx = jnp.concatenate(per_level_i)
             anchor_idx = top_idx // self.num_classes
             class_idx = top_idx % self.num_classes
             boxes = self._box_coder.decode(deltas[anchor_idx], anchors[anchor_idx])
@@ -198,7 +219,7 @@ class RetinaNet(nn.Module):
             keep = batched_nms(boxes, nms_scores, class_idx, self.nms_thresh)
             keep = keep & keep_score
             final_scores = jnp.where(keep, top_scores, -1.0)
-            k2 = min(self.max_detections, k)
+            k2 = min(self.max_detections, final_scores.shape[0])
             sel_scores, sel = jax.lax.top_k(final_scores, k2)
             valid = sel_scores > 0
             return {

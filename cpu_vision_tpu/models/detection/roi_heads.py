@@ -82,6 +82,11 @@ class RoIHeads(nn.Module):
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     max_detections: int = 100
+    # static NMS candidate bound.  The reference NMS-es every candidate above
+    # score_thresh (roi_heads.py:668-727, dynamic shape); with trained COCO
+    # weights the >0.05 survivors are far below this bound, so the fixed-shape
+    # top-k is mAP-neutral in practice.  Raise it if score_thresh is lowered.
+    pre_nms_detections: int = 4096
     box_head_type: str = "mlp"  # "mlp" (v1) | "convfc" (v2 recipe)
     dtype: Any = jnp.float32
 
@@ -187,7 +192,8 @@ class RoIHeads(nn.Module):
             cls_ids = jnp.tile(jnp.arange(num_fg), scores.shape[0])
             keep_score = flat_scores > self.score_thresh
             nms_scores = jnp.where(keep_score, flat_scores, 0.0)
-            k = min(4 * self.max_detections, flat_scores.shape[0])
+            k = min(max(self.pre_nms_detections, 4 * self.max_detections),
+                    flat_scores.shape[0])
             top_s, top_i = jax.lax.top_k(nms_scores, k)
             keep = batched_nms(flat_boxes[top_i], top_s, cls_ids[top_i], self.nms_thresh)
             final = jnp.where(keep, top_s, -1.0)

@@ -29,9 +29,11 @@ class DefaultBoxGenerator:
         self,
         aspect_ratios: Sequence[Sequence[int]] = ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,)),
         scales: Sequence[float] = (0.07, 0.15, 0.33, 0.51, 0.69, 0.87, 1.05),
+        steps: Sequence[int] | None = (8, 16, 32, 64, 100, 300),
     ):
         self.aspect_ratios = aspect_ratios
         self.scales = scales
+        self.steps = steps
 
     def num_anchors_per_location(self) -> List[int]:
         return [2 + 2 * len(r) for r in self.aspect_ratios]
@@ -45,12 +47,19 @@ class DefaultBoxGenerator:
             for r in ratios:
                 sr = math.sqrt(r)
                 wh += [(sk * sr, sk / sr), (sk / sr, sk * sr)]
+            # reference clamps only w/h at 1 (``clip=True`` clamps the wh
+            # pairs); the xyxy corners are NOT clipped to the image
+            # (anchor_utils.py:DefaultBoxGenerator.forward)
+            wh = [(min(w, 1.0), min(h, 1.0)) for w, h in wh]
+            # shift normalizer: image_size/steps[k] when steps are given
+            # (ssd300 uses steps=[8,16,32,64,100,300] — NOT the grid size)
+            f_norm = (image_size / self.steps[k]) if self.steps is not None else fs
             for i, j in itertools.product(range(fs), repeat=2):
-                cx = (j + 0.5) / fs
-                cy = (i + 0.5) / fs
+                cx = (j + 0.5) / f_norm
+                cy = (i + 0.5) / f_norm
                 for w, h in wh:
                     boxes.append([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
-        arr = np.clip(np.asarray(boxes, np.float32), 0.0, 1.0) * image_size
+        arr = np.asarray(boxes, np.float32) * image_size
         return jnp.asarray(arr)
 
 
@@ -63,6 +72,11 @@ class SSD(nn.Module):
     nms_thresh: float = 0.45
     max_detections: int = 200
     topk_candidates: int = 400
+    # static bound on the joint NMS candidate set.  The reference NMS-es the
+    # union of per-class top-400 survivors (ssd.py:postprocess_detections, a
+    # dynamic set); with trained weights the >0.01 survivors are far fewer
+    # than this bound, so the global top-k cap is mAP-neutral.
+    nms_candidates: int = 4096
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -122,14 +136,22 @@ class SSD(nn.Module):
         num_fg = self.num_classes - 1
 
         def per_image(logits, deltas):
-            scores = jax.nn.softmax(logits)[:, 1:]
+            scores = jax.nn.softmax(logits)[:, 1:]  # (A, C-1)
             boxes = self._coder.decode(deltas, anchors)
             boxes = clip_boxes_to_image(boxes, image_size)
-            flat = scores.reshape(-1)
-            k = min(self.topk_candidates, flat.shape[0])
-            top_s, top_i = jax.lax.top_k(jnp.where(flat > self.score_thresh, flat, 0.0), k)
-            a_idx = top_i // num_fg
-            c_idx = top_i % num_fg
+            # reference: per-CLASS top-k of thresholded scores
+            # (ssd.py:postprocess_detections), then one joint batched NMS
+            k_pc = min(self.topk_candidates, scores.shape[0])
+            thr = jnp.where(scores > self.score_thresh, scores, 0.0)
+            pc_s, pc_a = jax.lax.top_k(thr.T, k_pc)  # (C-1, k_pc) over anchors
+            cls_ids = jnp.broadcast_to(jnp.arange(num_fg)[:, None], pc_s.shape)
+            flat_s = pc_s.reshape(-1)
+            flat_a = pc_a.reshape(-1)
+            flat_c = cls_ids.reshape(-1)
+            k = min(self.nms_candidates, flat_s.shape[0])
+            top_s, sel_i = jax.lax.top_k(flat_s, k)
+            a_idx = flat_a[sel_i]
+            c_idx = flat_c[sel_i]
             keep = batched_nms(boxes[a_idx], top_s, c_idx, self.nms_thresh)
             final = jnp.where(keep, top_s, -1.0)
             k2 = min(self.max_detections, k)

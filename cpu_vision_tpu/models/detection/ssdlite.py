@@ -26,9 +26,9 @@ def _sep_block(c_mid, c_out, dtype):
     class Block(nn.Module):
         @nn.compact
         def __call__(self, x, train=False):
-            x = ConvNormActivation(c_mid, 1, activation=nn.relu6, dtype=dtype)(x, train)
-            x = ConvNormActivation(c_mid, 3, 2, groups=c_mid, activation=nn.relu6, dtype=dtype)(x, train)
-            return ConvNormActivation(c_out, 1, activation=nn.relu6, dtype=dtype)(x, train)
+            x = ConvNormActivation(c_mid, 1, activation=nn.relu6, eps=1e-3, dtype=dtype)(x, train)
+            x = ConvNormActivation(c_mid, 3, 2, groups=c_mid, activation=nn.relu6, eps=1e-3, dtype=dtype)(x, train)
+            return ConvNormActivation(c_out, 1, activation=nn.relu6, eps=1e-3, dtype=dtype)(x, train)
 
     return Block()
 
@@ -42,6 +42,7 @@ class SSDLite(nn.Module):
     nms_thresh: float = 0.55
     max_detections: int = 300
     topk_candidates: int = 300
+    nms_candidates: int = 4096
     # reference: reduce_tail = weights_backbone is None (ssdlite.py:282) —
     # the from-scratch config halves the last three blocks' channels; pass
     # False to match the published-checkpoint architecture
@@ -58,7 +59,7 @@ class SSDLite(nn.Module):
             if i >= 12 else (k, exp, out_c, se, hs, s)
             for i, (k, exp, out_c, se, hs, s) in enumerate(_V3_LARGE)
         ]
-        x = ConvNormActivation(16, 3, 2, activation=hardswish, dtype=self.dtype)(images, train)
+        x = ConvNormActivation(16, 3, 2, activation=hardswish, eps=1e-3, dtype=self.dtype)(images, train)
         feats: List[jnp.ndarray] = []
         for i, (k, exp, out_c, se, hs, s) in enumerate(cfg):
             if i == 12:
@@ -69,15 +70,18 @@ class SSDLite(nn.Module):
                 feats.append(expanded)
             else:
                 x = V3Block(out_c, k, exp, se, hs, s, dtype=self.dtype)(x, train)
-        x = ConvNormActivation(6 * x.shape[-1], 1, activation=hardswish, dtype=self.dtype)(x, train)
+        x = ConvNormActivation(6 * x.shape[-1], 1, activation=hardswish, eps=1e-3, dtype=self.dtype)(x, train)
         feats.append(x)  # C5
         for c_mid, c_out in [(256, 512), (128, 256), (128, 256), (64, 128)]:
             x = _sep_block(c_mid, c_out, self.dtype)(x, train)
             feats.append(x)
 
+        # reference generator: min_ratio 0.2, max_ratio 0.95 -> scales
+        # [0.2, 0.35, 0.5, 0.65, 0.8, 0.95, 1.0]; steps=None (grid sizes)
         gen = DefaultBoxGenerator(
             aspect_ratios=((2, 3),) * 6,
-            scales=(0.15, 0.3, 0.45, 0.6, 0.75, 0.9, 1.05),
+            scales=(0.2, 0.35, 0.5, 0.65, 0.8, 0.95, 1.0),
+            steps=None,
         )
         num_anchors = gen.num_anchors_per_location()
         cls_out, reg_out = [], []
@@ -85,7 +89,7 @@ class SSDLite(nn.Module):
             # lite heads: depthwise 3x3 + 1x1 (reference SSDLiteHead)
             def head(out_ch, name):
                 y = ConvNormActivation(f.shape[-1], 3, groups=f.shape[-1],
-                                       activation=nn.relu6, dtype=self.dtype,
+                                       activation=nn.relu6, eps=1e-3, dtype=self.dtype,
                                        name=f"{name}_dw{i}")(f, train)
                 return nn.Conv(out_ch, (1, 1), dtype=self.dtype, name=f"{name}_pw{i}")(y)
 

@@ -96,6 +96,7 @@ class V3Block(nn.Module):
     use_hs: bool
     strides: int
     dilation: int = 1
+    eps: float = 1e-3  # classification BN eps; detection backbones pass 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -106,17 +107,17 @@ class V3Block(nn.Module):
         use_res = strides == 1 and inp == self.features
         out = x
         if self.expanded != inp:
-            out = ConvNormActivation(self.expanded, 1, activation=act, eps=1e-3, dtype=self.dtype)(out, train)
+            out = ConvNormActivation(self.expanded, 1, activation=act, eps=self.eps, dtype=self.dtype)(out, train)
         expanded = out  # C4 tap for detection (reference splits the block here)
         out = ConvNormActivation(self.expanded, self.kernel, strides,
                                  groups=self.expanded, dilation=self.dilation,
-                                 activation=act, eps=1e-3, dtype=self.dtype)(out, train)
+                                 activation=act, eps=self.eps, dtype=self.dtype)(out, train)
         if self.use_se:
             from .layers import SqueezeExcitation
 
             out = SqueezeExcitation(_make_divisible(self.expanded // 4),
                                     scale_activation=hardsigmoid, dtype=self.dtype)(out)
-        out = ConvNormActivation(self.features, 1, activation=None, eps=1e-3, dtype=self.dtype)(out, train)
+        out = ConvNormActivation(self.features, 1, activation=None, eps=self.eps, dtype=self.dtype)(out, train)
         out = x + out if use_res else out
         return (out, expanded) if return_expanded else out
 

@@ -1303,3 +1303,308 @@ def segmentation_from_torch(state_dict: Mapping, arch: str) -> Dict:
 
 
 __all__ += ["segmentation_from_torch"]
+
+
+def _linear_from_chw(sd: Mapping, prefix: str, c: int, h: int, w: int) -> Dict:
+    """torch Linear over a flattened CHW map -> ours over flattened HWC."""
+    wt = _np(sd[f"{prefix}.weight"]).reshape(-1, c, h, w)
+    wt = wt.transpose(0, 2, 3, 1).reshape(wt.shape[0], -1)
+    return {"kernel": jnp.asarray(wt.T),
+            "bias": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+
+
+def _fpn_from_torch(sd: Mapping, layer_names: Sequence[str], with_bn: bool) -> Tuple[Dict, Dict]:
+    """torch FeaturePyramidNetwork (inner_blocks/layer_blocks) -> our
+    FeaturePyramidNetwork named convs (inner_<layer>/layer_<layer>)."""
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    for i, name in enumerate(layer_names):
+        for tset, oset in (("inner_blocks", "inner"), ("layer_blocks", "layer")):
+            if with_bn:
+                p[f"{oset}_{name}"] = {"kernel": convert_conv(sd[f"backbone.fpn.{tset}.{i}.0.weight"])}
+                bn_p, bn_s = _bn(sd, f"backbone.fpn.{tset}.{i}.1")
+                p[f"{oset}_bn_{name}"] = bn_p
+                s[f"{oset}_bn_{name}"] = bn_s
+            else:
+                p[f"{oset}_{name}"] = _conv_b(sd, f"backbone.fpn.{tset}.{i}.0")
+    return p, s
+
+
+def faster_rcnn_from_torch(state_dict: Mapping, arch: str = "fasterrcnn_resnet50_fpn") -> Dict:
+    """torchvision R-CNN detector state_dict -> our flax variables.
+
+    Covers fasterrcnn_resnet50_fpn(_v2), fasterrcnn_mobilenet_v3_large(_320)_fpn,
+    maskrcnn_resnet50_fpn(_v2), keypointrcnn_resnet50_fpn (reference
+    ``detection/{faster_rcnn,mask_rcnn,keypoint_rcnn}.py``)."""
+    sd = state_dict
+    v2 = arch.endswith("_v2")
+    mobile = "mobilenet" in arch
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # ---- backbone + fpn
+    bb_sd = _subdict(sd, "backbone.body")
+    if mobile:
+        bp, bs = _mobilenet_v3_backbone(bb_sd)
+        layer_names = ["layer3", "layer4"]
+    else:
+        bbvars = resnet_from_torch(bb_sd, (3, 4, 6, 3), True, with_fc=False)
+        bp, bs = bbvars["params"], bbvars["batch_stats"]
+        layer_names = ["layer1", "layer2", "layer3", "layer4"]
+    fp, fs = _fpn_from_torch(sd, layer_names, with_bn=v2)
+    fpn_p = {"backbone": bp, "FeaturePyramidNetwork_0": fp}
+    fpn_s = {"backbone": bs}
+    if fs:
+        fpn_s["FeaturePyramidNetwork_0"] = fs
+    params["backbone"] = fpn_p
+    stats["backbone"] = fpn_s
+
+    # ---- rpn head
+    rp: Dict[str, Any] = {
+        "conv": _conv_b(sd, "rpn.head.conv.0.0"),
+        "cls_logits": _conv_b(sd, "rpn.head.cls_logits"),
+        "bbox_pred": _conv_b(sd, "rpn.head.bbox_pred"),
+    }
+    if "rpn.head.conv.1.0.weight" in sd:
+        rp["conv1"] = _conv_b(sd, "rpn.head.conv.1.0")
+    params["rpn"] = {"head": rp}
+
+    # ---- roi heads
+    rh: Dict[str, Any] = {}
+    rhs: Dict[str, Any] = {}
+    if "roi_heads.box_head.fc6.weight" in sd:  # v1 TwoMLPHead
+        rh["box_head"] = {
+            "Dense_0": _linear_from_chw(sd, "roi_heads.box_head.fc6", 256, 7, 7),
+            "Dense_1": _dense_t(sd, "roi_heads.box_head.fc7"),
+        }
+    else:  # v2 FastRCNNConvFCHead: 0..3 Conv2dNormActivation, 5 Linear
+        bh: Dict[str, Any] = {}
+        bhs: Dict[str, Any] = {}
+        for i in range(4):
+            bh[f"Conv_{i}"] = {"kernel": convert_conv(sd[f"roi_heads.box_head.{i}.0.weight"])}
+            p, s = _bn(sd, f"roi_heads.box_head.{i}.1")
+            bh[f"BatchNorm_{i}"] = p
+            bhs[f"BatchNorm_{i}"] = s
+        bh["Dense_0"] = _linear_from_chw(sd, "roi_heads.box_head.5", 256, 7, 7)
+        rh["box_head"] = bh
+        rhs["box_head"] = bhs
+    rh["predictor"] = {
+        "Dense_0": _dense_t(sd, "roi_heads.box_predictor.cls_score"),
+        "Dense_1": _dense_t(sd, "roi_heads.box_predictor.bbox_pred"),
+    }
+    params["roi_heads"] = rh
+    if rhs:
+        stats["roi_heads"] = rhs
+
+    # ---- mask head (mask rcnn)
+    if "roi_heads.mask_head.mask_fcn1.0.weight" in sd or "roi_heads.mask_head.0.0.weight" in sd:
+        mh: Dict[str, Any] = {}
+        mhs: Dict[str, Any] = {}
+        for i in range(4):
+            t = (f"roi_heads.mask_head.mask_fcn{i + 1}"
+                 if f"roi_heads.mask_head.mask_fcn{i + 1}.0.weight" in sd
+                 else f"roi_heads.mask_head.{i}")
+            if f"{t}.1.running_mean" in sd:  # v2 BN head
+                mh[f"mask_fcn{i + 1}"] = {"kernel": convert_conv(sd[f"{t}.0.weight"])}
+                p, s = _bn(sd, f"{t}.1")
+                mh[f"BatchNorm_{i}"] = p
+                mhs[f"BatchNorm_{i}"] = s
+            else:
+                mh[f"mask_fcn{i + 1}"] = _conv_b(sd, f"{t}.0")
+        wdc = _np(sd["roi_heads.mask_predictor.conv5_mask.weight"])  # (in, out, kh, kw)
+        mh["mask_deconv"] = {"kernel": jnp.asarray(wdc.transpose(2, 3, 0, 1)),
+                             "bias": jnp.asarray(_np(sd["roi_heads.mask_predictor.conv5_mask.bias"]))}
+        mh["mask_logits"] = _conv_b(sd, "roi_heads.mask_predictor.mask_fcn_logits")
+        params["mask_head"] = mh
+        if mhs:
+            stats["mask_head"] = mhs
+
+    # ---- keypoint head (keypoint rcnn)
+    if "roi_heads.keypoint_head.0.weight" in sd:
+        kh: Dict[str, Any] = {}
+        for i in range(8):
+            kh[f"kps_fcn{i + 1}"] = _conv_b(sd, f"roi_heads.keypoint_head.{2 * i}")
+        wdc = _np(sd["roi_heads.keypoint_predictor.kps_score_lowres.weight"])
+        kh["kps_score_lowres"] = {"kernel": jnp.asarray(wdc.transpose(2, 3, 0, 1)),
+                           "bias": jnp.asarray(_np(sd["roi_heads.keypoint_predictor.kps_score_lowres.bias"]))}
+        params["keypoint_head"] = kh
+
+    out: Dict[str, Any] = {"params": params, "batch_stats": stats}
+    return out
+
+
+__all__ += ["faster_rcnn_from_torch"]
+
+
+def ssd300_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision ssd300_vgg16 state_dict -> our flax variables (reference
+    ``detection/ssd.py:SSDFeatureExtractorVGG`` + ``SSDHead``).  Our inline
+    VGG convs are auto-named Conv_0.. in call order; heads are named
+    cls_head{i}/reg_head{i}."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    # VGG trunk convs in our call order -> torch keys
+    trunk = ["backbone.features.0", "backbone.features.2",      # 64
+             "backbone.features.5", "backbone.features.7",      # 128
+             "backbone.features.10", "backbone.features.12", "backbone.features.14",  # 256
+             "backbone.features.17", "backbone.features.19", "backbone.features.21",  # conv4
+             "backbone.extra.0.1", "backbone.extra.0.3", "backbone.extra.0.5",        # conv5
+             "backbone.extra.0.7.1", "backbone.extra.0.7.3",    # fc6 (atrous), fc7
+             "backbone.extra.1.0", "backbone.extra.1.2",
+             "backbone.extra.2.0", "backbone.extra.2.2",
+             "backbone.extra.3.0", "backbone.extra.3.2",
+             "backbone.extra.4.0", "backbone.extra.4.2"]
+    for i, t in enumerate(trunk):
+        params[f"Conv_{i}"] = _conv_b(sd, t)
+    params["l2_scale"] = jnp.asarray(_np(sd["backbone.scale_weight"]))
+    for i in range(6):
+        params[f"cls_head{i}"] = _conv_b(sd, f"head.classification_head.module_list.{i}")
+        params[f"reg_head{i}"] = _conv_b(sd, f"head.regression_head.module_list.{i}")
+    return {"params": params}
+
+
+__all__ += ["ssd300_from_torch"]
+
+
+def _gn_t(sd: Mapping, prefix: str) -> Dict:
+    return {"scale": jnp.asarray(_np(sd[f"{prefix}.weight"])),
+            "bias": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+
+
+def retinanet_from_torch(state_dict: Mapping, arch: str = "retinanet_resnet50_fpn") -> Dict:
+    """torchvision RetinaNet/FCOS state_dict -> our flax variables (reference
+    ``detection/retinanet.py`` / ``fcos.py``): resnet50 body, 3-level FPN +
+    P6/P7, shared cls/reg conv towers."""
+    sd = state_dict
+    fcos = arch.startswith("fcos")
+    v2 = arch.endswith("_v2")
+    gn = fcos or v2  # GroupNorm towers
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    bbvars = resnet_from_torch(_subdict(sd, "backbone.body"), (3, 4, 6, 3), True,
+                               with_fc=False)
+    fp, fs = _fpn_from_torch(sd, ["layer2", "layer3", "layer4"], with_bn=False)
+    p6p7 = {"p6": _conv_b(sd, "backbone.fpn.extra_blocks.p6"),
+            "p7": _conv_b(sd, "backbone.fpn.extra_blocks.p7")}
+    params["backbone"] = {"backbone": bbvars["params"],
+                          "FeaturePyramidNetwork_0": fp,
+                          "LastLevelP6P7_0": p6p7}
+    stats["backbone"] = {"backbone": bbvars["batch_stats"]}
+
+    hp: Dict[str, Any] = {}
+    for i in range(4):
+        if fcos:
+            # flat Sequential: conv.{3i}=conv (bias), conv.{3i+1}=gn
+            cls_conv = f"head.classification_head.conv.{3 * i}"
+            reg_conv = f"head.regression_head.conv.{3 * i}"
+            hp[f"cls_conv{i}"] = _conv_b(sd, cls_conv)
+            hp[f"reg_conv{i}"] = _conv_b(sd, reg_conv)
+            hp[f"cls_gn{i}"] = _gn_t(sd, f"head.classification_head.conv.{3 * i + 1}")
+            hp[f"reg_gn{i}"] = _gn_t(sd, f"head.regression_head.conv.{3 * i + 1}")
+        elif gn:  # retinanet v2: Conv2dNormActivation (conv no-bias, gn)
+            tc = f"head.classification_head.conv.{i}"
+            tr = f"head.regression_head.conv.{i}"
+            hp[f"cls_conv{i}"] = {"kernel": convert_conv(sd[f"{tc}.0.weight"])}
+            hp[f"reg_conv{i}"] = {"kernel": convert_conv(sd[f"{tr}.0.weight"])}
+            hp[f"cls_gn{i}"] = _gn_t(sd, f"{tc}.1")
+            hp[f"reg_gn{i}"] = _gn_t(sd, f"{tr}.1")
+        else:
+            hp[f"cls_conv{i}"] = _conv_b(sd, f"head.classification_head.conv.{i}.0")
+            hp[f"reg_conv{i}"] = _conv_b(sd, f"head.regression_head.conv.{i}.0")
+    hp["cls_logits"] = _conv_b(sd, "head.classification_head.cls_logits")
+    hp["bbox_reg"] = _conv_b(sd, "head.regression_head.bbox_reg")
+    if fcos:
+        hp["ctrness"] = _conv_b(sd, "head.regression_head.bbox_ctrness")
+    params["head"] = hp
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["retinanet_from_torch"]
+
+
+def ssdlite_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision ssdlite320_mobilenet_v3_large state_dict -> our flax
+    variables (reference ``detection/ssdlite.py``).  The reference splits the
+    backbone at block 12's expand conv (features.0.13) and keeps the rest in
+    features.1; our V3Block_12 owns both halves."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(dst_p, dst_s, name, conv_prefix, bn_prefix):
+        p, s = _cna(sd, conv_prefix, bn_prefix)
+        dst_p[name] = p
+        dst_s[name] = s
+
+    put(params, stats, "ConvNormActivation_0", "backbone.features.0.0.0", "backbone.features.0.0.1")
+
+    def v3block(bi, prefix, se):
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        li = ci = 0
+        n_sub = 4 if se else 3
+        has_expand = f"{prefix}.{n_sub - 3}.0.weight" in sd and n_sub - 3 == 1
+        # determine expand presence by counting distinct sub-indices
+        subs = sorted({int(k[len(prefix) + 1:].split(".")[0]) for k in sd
+                       if k.startswith(prefix + ".")})
+        idx = 0
+        if len(subs) == (4 if se else 3):  # expand + dw (+se) + project
+            put(bp, bs, f"ConvNormActivation_{ci}", f"{prefix}.{subs[idx]}.0", f"{prefix}.{subs[idx]}.1")
+            idx += 1
+            ci += 1
+        put(bp, bs, f"ConvNormActivation_{ci}", f"{prefix}.{subs[idx]}.0", f"{prefix}.{subs[idx]}.1")
+        idx += 1
+        ci += 1
+        if se:
+            bp["SqueezeExcitation_0"] = {
+                "Conv_0": _conv_b(sd, f"{prefix}.{subs[idx]}.fc1"),
+                "Conv_1": _conv_b(sd, f"{prefix}.{subs[idx]}.fc2"),
+            }
+            idx += 1
+        put(bp, bs, f"ConvNormActivation_{ci}", f"{prefix}.{subs[idx]}.0", f"{prefix}.{subs[idx]}.1")
+        params[f"V3Block_{bi}"] = bp
+        stats[f"V3Block_{bi}"] = bs
+
+    from .mobilenet import _V3_LARGE
+
+    for bi in range(12):
+        v3block(bi, f"backbone.features.0.{bi + 1}.block", _V3_LARGE[bi][3])
+
+    # block 12: expand at features.0.13 (a bare CNA), rest at features.1.0.{1,2,3}
+    bp: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    put(bp, bs, "ConvNormActivation_0", "backbone.features.0.13.0", "backbone.features.0.13.1")
+    put(bp, bs, "ConvNormActivation_1", "backbone.features.1.0.1.0", "backbone.features.1.0.1.1")
+    bp["SqueezeExcitation_0"] = {
+        "Conv_0": _conv_b(sd, "backbone.features.1.0.2.fc1"),
+        "Conv_1": _conv_b(sd, "backbone.features.1.0.2.fc2"),
+    }
+    put(bp, bs, "ConvNormActivation_2", "backbone.features.1.0.3.0", "backbone.features.1.0.3.1")
+    params["V3Block_12"] = bp
+    stats["V3Block_12"] = bs
+
+    for j, bi in enumerate((13, 14)):
+        v3block(bi, f"backbone.features.1.{j + 1}.block", True)
+    put(params, stats, "ConvNormActivation_1", "backbone.features.1.3.0", "backbone.features.1.3.1")
+
+    for e in range(4):
+        ep: Dict[str, Any] = {}
+        es: Dict[str, Any] = {}
+        for ci in range(3):
+            put(ep, es, f"ConvNormActivation_{ci}", f"backbone.extra.{e}.{ci}.0",
+                f"backbone.extra.{e}.{ci}.1")
+        params[f"Block_{e}"] = ep
+        stats[f"Block_{e}"] = es
+
+    for i in range(6):
+        for kind, tname in (("cls", "classification_head"), ("reg", "regression_head")):
+            t = f"head.{tname}.module_list.{i}"
+            p, s = _cna(sd, f"{t}.0.0", f"{t}.0.1")
+            params[f"{kind}_dw{i}"] = p
+            stats[f"{kind}_dw{i}"] = s
+            params[f"{kind}_pw{i}"] = _conv_b(sd, f"{t}.1")
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["ssdlite_from_torch"]

@@ -107,11 +107,26 @@ def main(argv=None):
                     f"epoch {epoch} step {step}: cls {float(losses['classification']):.4f} "
                     f"reg {float(losses['bbox_regression']):.4f}"
                 )
-        # inference smoke
-        x = jnp.asarray(rng.random((1, s, s, 3), dtype=np.float32))
+        # inference + COCO mAP on a held-out fake batch (reference evaluates
+        # with coco_eval each epoch, references/detection/train.py:62-102)
+        from coco_eval import CocoEvaluator
+
+        ev = CocoEvaluator()
+        x = jnp.asarray(rng.random((2, s, s, 3), dtype=np.float32))
+        gt_boxes, gt_labels, gt_valid = fake_targets(rng, 2, args.max_boxes,
+                                                     args.num_classes, s)
         cls, reg, anchors = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
         dets = model.postprocess(cls, reg, anchors, (s, s))
-        print(f"epoch {epoch}: {int(dets['valid'].sum())} detections")
+        for i in range(x.shape[0]):
+            keep = np.asarray(dets["valid"][i])
+            gk = np.asarray(gt_valid[i])
+            ev.update(np.asarray(dets["boxes"][i])[keep],
+                      np.asarray(dets["scores"][i])[keep],
+                      np.asarray(dets["labels"][i])[keep],
+                      np.asarray(gt_boxes[i])[gk], np.asarray(gt_labels[i])[gk])
+        stats = ev.summarize()
+        print(f"epoch {epoch}: {int(dets['valid'].sum())} detections, "
+              f"mAP {stats['map']:.4f} mAP50 {stats['map_50']:.4f}")
     return params
 
 
