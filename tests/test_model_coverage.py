@@ -102,6 +102,23 @@ class TestQuantizedBuilders:
         # int8 quantisation keeps logits close
         assert float(jnp.max(jnp.abs(out - ref))) < 0.5
 
+    def test_int8_execution_path(self, rng):
+        """apply_int8 runs large convs/denses as int8 contractions with
+        int32 accumulation (reference converted int8 modules,
+        ``models/quantization/resnet.py``); logits must track f32."""
+        q = models.get_model("quantized_resnet18", num_classes=50)
+        x = jnp.asarray(rng.random((4, 64, 64, 3)).astype(np.float32))
+        v = q.init(jax.random.PRNGKey(0), x, train=False)
+        f32 = np.asarray(q.apply(v, x, train=False))
+        i8 = np.asarray(q.apply_int8(v, x, train=False))
+        cos = float((f32 * i8).sum() / (np.linalg.norm(f32) * np.linalg.norm(i8) + 1e-12))
+        assert cos > 0.999
+        assert (f32.argmax(-1) == i8.argmax(-1)).mean() >= 0.75
+        # and the int8 graph really contracts in integers
+        import jax as _jax
+        hlo = _jax.jit(lambda xx: q.apply_int8(v, xx, train=False)).lower(x).as_text()
+        assert "xi8" in hlo and "i32" in hlo  # int8 operands, int32 accum
+
     def test_quantized_size_reduction(self):
         from cpu_vision_tpu.models.quantization import param_bytes
 
@@ -142,3 +159,61 @@ class TestModelsAttributeSurface:
         v = m.init(jax.random.PRNGKey(0), x, train=False)
         train_nodes, eval_nodes = get_graph_node_names(m, v, x, train=False)
         assert train_nodes == eval_nodes and len(train_nodes) > 5
+
+
+class TestFeatureExtractionFX:
+    """Exact node addressing at the reference's FX contract
+    (``models/feature_extraction.py:334-480``): deterministic node list,
+    dict renaming, no substring over-match, loud unknown-node errors."""
+
+    def _setup(self):
+        import jax
+        from cpu_vision_tpu import models
+
+        m = models.get_model("resnet18", num_classes=10)
+        x = jnp.zeros((1, 64, 64, 3))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        return m, v, x
+
+    def test_node_names_are_exact_paths(self):
+        from cpu_vision_tpu.models.feature_extraction import get_graph_node_names
+
+        m, v, x = self._setup()
+        nodes, _ = get_graph_node_names(m, v, x, train=False)
+        assert "layer2_0" in nodes and "layer2_0/Conv_0" in nodes
+
+    def test_no_substring_overmatch(self):
+        """'layer1_0' must not match 'layer1_0...' prefixes of other blocks,
+        and a nonexistent 'layer1' must raise, never silently match
+        'layer1_0' AND 'layer1_1' at once like substring matching did."""
+        from cpu_vision_tpu.models.feature_extraction import extract_features
+
+        m, v, x = self._setup()
+        feats = extract_features(m, v, x, ["layer1_1"], train=False)
+        assert set(feats) == {"layer1_1"}
+
+    def test_unknown_node_raises_with_suggestions(self):
+        from cpu_vision_tpu.models.feature_extraction import extract_features
+
+        m, v, x = self._setup()
+        with pytest.raises(ValueError, match="not in the model graph"):
+            extract_features(m, v, x, ["layer9_0"], train=False)
+
+    def test_dict_renaming_and_order(self):
+        from cpu_vision_tpu.models.feature_extraction import extract_features
+
+        m, v, x = self._setup()
+        feats = extract_features(
+            m, v, x, {"layer1_1": "c2", "layer2_1": "c3", "layer3_1": "c4"},
+            train=False)
+        assert set(feats) == {"c2", "c3", "c4"}
+        assert feats["c2"].shape[-1] == 64 and feats["c4"].shape[-1] == 256
+
+    def test_inner_node_addressing(self):
+        """A specific call site inside a block resolves uniquely (the FX
+        'layer1.0.conv1' analog)."""
+        from cpu_vision_tpu.models.feature_extraction import extract_features
+
+        m, v, x = self._setup()
+        feats = extract_features(m, v, x, ["layer2_0/Conv_0"], train=False)
+        assert set(feats) == {"layer2_0/Conv_0"}

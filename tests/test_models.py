@@ -142,8 +142,11 @@ class TestFeatureExtraction:
         m = models.get_model("resnet18")
         x = jnp.ones((1, 64, 64, 3), jnp.float32)
         v = m.init(jax.random.PRNGKey(0), x, train=False)
-        feats = models.extract_features(m, v, x, ["layer2"], train=False)
-        assert any("layer2" in k for k in feats)
+        feats = models.extract_features(m, v, x, ["layer2_1"], train=False)
+        assert "layer2_1" in feats
+        # dict form renames outputs (reference return_nodes dict)
+        feats = models.extract_features(m, v, x, {"layer2_1": "c3"}, train=False)
+        assert set(feats) == {"c3"}
 
     def test_features_only_mode(self):
         m = models.get_model("resnet18")
