@@ -199,12 +199,38 @@ def _decode_frame_dir(path: str) -> Tuple[np.ndarray, float]:
     return np.stack(frames), 30.0
 
 
+def _decode_pyav(filename: str) -> Tuple[np.ndarray, float]:
+    """Host-side compressed-video decode through PyAV when importable —
+    covers h264/hevc mp4 (Kinetics/UCF as published), the counterpart of the
+    reference's pyav backend (``io/video.py:236``).  Raises ImportError when
+    the library is absent (clean gate, like a reference build without
+    ffmpeg)."""
+    import av  # gated optional dependency
+
+    with av.open(filename) as container:
+        stream = container.streams.video[0]
+        fps = float(stream.average_rate) if stream.average_rate else 30.0
+        frames = [f.to_ndarray(format="rgb24") for f in container.decode(stream)]
+    if not frames:
+        raise RuntimeError(f"no video frames found in {filename}")
+    return np.stack(frames), fps
+
+
 def _decode_any(filename: str) -> Tuple[np.ndarray, float]:
     if os.path.isdir(filename):
         return _decode_frame_dir(filename)
     if filename.endswith((".npy", ".npz")):
         return _decode_array_file(filename)
-    return _decode_avi(filename)
+    try:
+        return _decode_avi(filename)
+    except RuntimeError as avi_err:
+        # not our native MJPEG-AVI container: try PyAV for compressed codecs
+        try:
+            return _decode_pyav(filename)
+        except ImportError:
+            raise RuntimeError(
+                f"{avi_err}; compressed codecs (h264 et al.) need the optional "
+                f"PyAV backend, which is not installed") from avi_err
 
 
 # ------------------------------------------------------------------- public

@@ -184,10 +184,14 @@ def invert(image: jax.Array) -> jax.Array:
 
 
 def posterize(image: jax.Array, bits: int) -> jax.Array:
-    """Keep the top ``bits`` bits of a uint8 image (reference ``:779-790``)."""
+    """Keep the top ``bits`` bits (reference uint8 path ``:779-790``; float
+    path = quantise to ``2**bits`` levels, v2 ``_color.py:462-472``)."""
     image = jnp.asarray(image)
+    if jnp.issubdtype(image.dtype, jnp.floating):
+        levels = 1 << bits
+        return jnp.clip(jnp.floor(image * levels), 0, levels - 1) * (1.0 / levels)
     if image.dtype != jnp.uint8:
-        raise TypeError("posterize expects uint8")
+        raise TypeError("posterize expects uint8 or float")
     mask = jnp.uint8(256 - 2 ** (8 - bits)) if bits < 8 else jnp.uint8(255)
     return image & mask
 

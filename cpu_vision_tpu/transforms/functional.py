@@ -221,6 +221,13 @@ def _crop_image(img, top, left, height, width):
 
 def _crop_bboxes(b: BoundingBoxes, top, left, height, width):
     shifted = _xyxy(b) - jnp.asarray([left, top, left, top], jnp.float32)
+    # reference crop_bounding_boxes clamps to the new canvas
+    # (v2/functional/_geometry.py:1345)
+    shifted = jnp.clip(
+        shifted,
+        jnp.zeros((4,), jnp.float32),
+        jnp.asarray([width, height, width, height], jnp.float32),
+    )
     return _from_xyxy(shifted, b, canvas_size=(height, width))
 
 

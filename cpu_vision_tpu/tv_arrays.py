@@ -105,6 +105,11 @@ class BoundingBoxes(TVArray):
     canvas_size: Tuple[int, int] = (0, 0)
 
     def __post_init__(self):
+        # accept the reference's uppercase BoundingBoxFormat names too
+        # (tv_tensors/_bounding_boxes.py: BoundingBoxFormat.XYXY et al.)
+        fmt = str(getattr(self.format, "name", self.format)).lower()
+        if fmt != self.format:
+            object.__setattr__(self, "format", fmt)
         if self.format not in BBOX_FORMATS:
             raise ValueError(f"format must be one of {BBOX_FORMATS}, got {self.format!r}")
 
