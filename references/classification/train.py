@@ -31,6 +31,10 @@ def get_args(argv=None):
     p = argparse.ArgumentParser(description="cpu_vision_tpu classification training")
     p.add_argument("--data-path", default=None, help="ImageFolder root with train/ and val/")
     p.add_argument("--fake-data", action="store_true", help="use synthetic data")
+    p.add_argument("--synthetic", action="store_true",
+                   help="procedurally-labelled SyntheticShapes (learnable; for accuracy proofs)")
+    p.add_argument("--train-size", type=int, default=20_000)
+    p.add_argument("--val-size", type=int, default=2_000)
     p.add_argument("--model", default="resnet18")
     p.add_argument("--num-classes", type=int, default=10)
     p.add_argument("--image-size", type=int, default=64)
@@ -50,12 +54,21 @@ def get_args(argv=None):
     p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    p.add_argument("--batched-aug", action="store_true",
+                   help="one jitted whole-batch augmentation (pad/crop/flip) instead of the "
+                        "per-image preset loop — the TPU-fast path for uniform-size data")
     return p.parse_args(argv)
 
 
 def make_datasets(args):
+    shape = (args.image_size, args.image_size, 3)
+    if args.synthetic:
+        # disjoint index ranges -> disjoint, identically-distributed splits
+        train = datasets.SyntheticShapes(args.train_size, shape, args.num_classes)
+        val = datasets.SyntheticShapes(args.val_size, shape, args.num_classes,
+                                       random_offset=args.train_size)
+        return train, val
     if args.fake_data or args.data_path is None:
-        shape = (args.image_size, args.image_size, 3)
         train = datasets.FakeData(4096, shape, args.num_classes)
         val = datasets.FakeData(512, shape, args.num_classes, random_offset=10_000)
         return train, val
@@ -144,12 +157,20 @@ def main(argv=None):
     def eval_step(params, batch_stats, images):
         return model.apply({"params": params, "batch_stats": batch_stats}, images, train=False)
 
+    batched_tf = None
+    if args.batched_aug:
+        from cpu_vision_tpu.train.presets import BatchedImageClassificationTrain
+        batched_tf = BatchedImageClassificationTrain(args.image_size)
+
     def prep(batch):
         imgs, labels = batch
         key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
-        keys = jax.random.split(key, imgs.shape[0])
-        out = [np.asarray(train_tf(jnp.asarray(im), key=k)) for im, k in zip(imgs, keys)]
-        x = jnp.asarray(np.stack(out))
+        if batched_tf is not None:
+            x = batched_tf(jnp.asarray(np.stack([np.asarray(im) for im in imgs])), key)
+        else:
+            keys = jax.random.split(key, imgs.shape[0])
+            out = [np.asarray(train_tf(jnp.asarray(im), key=k)) for im, k in zip(imgs, keys)]
+            x = jnp.asarray(np.stack(out))
         y = jnp.asarray(labels)
         return parallel.shard_batch((x, y), mesh)
 
@@ -177,9 +198,16 @@ def main(argv=None):
             correct = total = 0
             for batch in val_loader:
                 imgs, labels = batch
-                x = jnp.asarray(
-                    np.stack([np.asarray(eval_tf(jnp.asarray(im))) for im in imgs])
-                )
+                if batched_tf is not None:
+                    # uniform-size data: normalize the whole batch in one call
+                    mean = jnp.asarray((0.485, 0.456, 0.406), jnp.float32) * 255.0
+                    std = jnp.asarray((0.229, 0.224, 0.225), jnp.float32) * 255.0
+                    x = (jnp.asarray(np.stack([np.asarray(im) for im in imgs]))
+                         .astype(jnp.float32) - mean) / std
+                else:
+                    x = jnp.asarray(
+                        np.stack([np.asarray(eval_tf(jnp.asarray(im))) for im in imgs])
+                    )
                 logits = eval_step(params, batch_stats, x)
                 correct += float(jnp.sum(jnp.argmax(logits, -1) == jnp.asarray(labels)))
                 total += len(labels)
