@@ -28,6 +28,7 @@ class GeneralizedRCNNTransform:
         image_std: Sequence[float] = (0.229, 0.224, 0.225),
         size_divisible: int = 32,
         fixed_size: Optional[Tuple[int, int]] = None,
+        size_bucket: Optional[int] = None,
     ):
         self.min_size = min_size
         self.max_size = max_size
@@ -35,13 +36,30 @@ class GeneralizedRCNNTransform:
         self.image_std = jnp.asarray(image_std, jnp.float32)
         self.size_divisible = size_divisible
         self.fixed_size = fixed_size
+        self.size_bucket = size_bucket
 
     def _target_size(self, h: int, w: int) -> Tuple[int, int]:
-        """min/max-size rule (reference ``_resize_image_and_masks``)."""
+        """min/max-size rule (reference ``_resize_image_and_masks``), with
+        optional TPU size-bucketing.
+
+        Every distinct ``(th, tw)`` is a fresh XLA compilation of the resize
+        program — on a variable-size dataset (COCO: thousands of distinct
+        sizes) the exact reference rule is a compile storm.  ``size_bucket``
+        rounds the target up to a multiple of the bucket (clamped to the
+        canvas), collapsing the size set to a ~20x20 grid worst case; box
+        coordinates stay exact because scale factors are tracked per image.
+        Pass ``size_bucket=None`` for the reference's exact sizing.
+        """
         if self.fixed_size is not None:
             return self.fixed_size
         scale = min(self.min_size / min(h, w), self.max_size / max(h, w))
-        return int(round(h * scale)), int(round(w * scale))
+        th, tw = int(round(h * scale)), int(round(w * scale))
+        if self.size_bucket:
+            ch, cw = self.canvas_size()
+            b = self.size_bucket
+            th = min(math.ceil(th / b) * b, ch)
+            tw = min(math.ceil(tw / b) * b, cw)
+        return th, tw
 
     def canvas_size(self) -> Tuple[int, int]:
         """The static padded canvas all batches use."""
