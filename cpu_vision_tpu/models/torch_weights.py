@@ -455,6 +455,57 @@ def mobilenet_v3_from_torch(state_dict: Mapping, arch: str = "large") -> Dict:
 __all__ += ["mobilenet_v3_from_torch"]
 
 
+def mobilenet_v2_from_torch(state_dict: Mapping) -> Dict:
+    """torchvision MobileNetV2 state_dict -> our variables (reference
+    ``mobilenetv2.py``): features.0 stem CNA, features.1..17 InvertedResidual
+    (``conv`` = [expand CNA,] depthwise CNA, project conv+bn), features.18
+    last CNA, classifier.1 linear."""
+    sd = state_dict
+    params: Dict = {}
+    stats: Dict = {}
+
+    p, s = _cna(sd, "features.0.0", "features.0.1")
+    params["ConvNormActivation_0"] = p
+    stats["ConvNormActivation_0"] = s
+
+    # (t, c, n, s) table — repeats per stage; 17 blocks total
+    repeats = [1, 2, 3, 4, 3, 3, 1]
+    expands = [1, 6, 6, 6, 6, 6, 6]
+    bi = 0
+    for stage, n in enumerate(repeats):
+        for _ in range(n):
+            t = f"features.{bi + 1}.conv"
+            bp: Dict = {}
+            bs: Dict = {}
+            li = ci = 0
+            if expands[stage] != 1:  # expand 1x1 CNA
+                p, s = _cna(sd, f"{t}.{li}.0", f"{t}.{li}.1")
+                bp[f"ConvNormActivation_{ci}"] = p
+                bs[f"ConvNormActivation_{ci}"] = s
+                li += 1
+                ci += 1
+            p, s = _cna(sd, f"{t}.{li}.0", f"{t}.{li}.1")  # depthwise CNA
+            bp[f"ConvNormActivation_{ci}"] = p
+            bs[f"ConvNormActivation_{ci}"] = s
+            # project: bare conv + bn (not a CNA submodule in torch)
+            p, s = _cna(sd, f"{t}.{li + 1}", f"{t}.{li + 2}")
+            bp[f"ConvNormActivation_{ci + 1}"] = p
+            bs[f"ConvNormActivation_{ci + 1}"] = s
+            params[f"InvertedResidual_{bi}"] = bp
+            stats[f"InvertedResidual_{bi}"] = bs
+            bi += 1
+
+    p, s = _cna(sd, "features.18.0", "features.18.1")
+    params["ConvNormActivation_1"] = p
+    stats["ConvNormActivation_1"] = s
+    params["Dense_0"] = {"kernel": convert_linear(sd["classifier.1.weight"]),
+                         "bias": jnp.asarray(_np(sd["classifier.1.bias"]))}
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["mobilenet_v2_from_torch"]
+
+
 def convnext_from_torch(state_dict: Mapping) -> Dict:
     """torchvision ConvNeXt state_dict -> our flax params (reference
     ``convnext.py``: features.0 stem conv+LN, odd features = CNBlock stages
@@ -558,6 +609,77 @@ def efficientnet_from_torch(state_dict: Mapping) -> Dict:
 
 
 __all__ += ["efficientnet_from_torch"]
+
+
+def efficientnet_v2_from_torch(state_dict: Mapping, arch: str = "efficientnet_v2_s") -> Dict:
+    """torchvision EfficientNetV2 state_dict -> our flax variables
+    (reference ``efficientnet.py``: FusedMBConv stages first, then MBConv;
+    fused block = [expand-fused CNA, project CNA] or one CNA when
+    expand_ratio == 1).  Flax gives MBConv/FusedMBConv separate name
+    counters, so the converter walks the per-arch stage table."""
+    from .efficientnet import _V2_L, _V2_M, _V2_S
+
+    cfg = {"efficientnet_v2_s": _V2_S, "efficientnet_v2_m": _V2_M,
+           "efficientnet_v2_l": _V2_L}[arch]
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    p, s = _cna(sd, "features.0.0", "features.0.1")
+    params["ConvNormActivation_0"] = p
+    stats["ConvNormActivation_0"] = s
+
+    mb = fused = 0
+    for si, (btype, expand, _k, _st, _c, repeats) in enumerate(cfg, start=1):
+        for j in range(repeats):
+            t = f"features.{si}.{j}.block"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            if btype == "fused":
+                if expand != 1:
+                    p, s = _cna(sd, f"{t}.0.0", f"{t}.0.1")  # fused expand
+                    bp["ConvNormActivation_0"] = p
+                    bs["ConvNormActivation_0"] = s
+                    p, s = _cna(sd, f"{t}.1.0", f"{t}.1.1")  # project
+                    bp["ConvNormActivation_1"] = p
+                    bs["ConvNormActivation_1"] = s
+                else:
+                    p, s = _cna(sd, f"{t}.0.0", f"{t}.0.1")
+                    bp["ConvNormActivation_0"] = p
+                    bs["ConvNormActivation_0"] = s
+                params[f"FusedMBConv_{fused}"] = bp
+                stats[f"FusedMBConv_{fused}"] = bs
+                fused += 1
+            else:
+                p, s = _cna(sd, f"{t}.0.0", f"{t}.0.1")  # expand 1x1
+                bp["ConvNormActivation_0"] = p
+                bs["ConvNormActivation_0"] = s
+                p, s = _cna(sd, f"{t}.1.0", f"{t}.1.1")  # depthwise
+                bp["ConvNormActivation_1"] = p
+                bs["ConvNormActivation_1"] = s
+                bp["SqueezeExcitation_0"] = {
+                    "Conv_0": {"kernel": convert_conv(sd[f"{t}.2.fc1.weight"]),
+                               "bias": jnp.asarray(_np(sd[f"{t}.2.fc1.bias"]))},
+                    "Conv_1": {"kernel": convert_conv(sd[f"{t}.2.fc2.weight"]),
+                               "bias": jnp.asarray(_np(sd[f"{t}.2.fc2.bias"]))},
+                }
+                p, s = _cna(sd, f"{t}.3.0", f"{t}.3.1")  # project
+                bp["ConvNormActivation_2"] = p
+                bs["ConvNormActivation_2"] = s
+                params[f"MBConv_{mb}"] = bp
+                stats[f"MBConv_{mb}"] = bs
+                mb += 1
+
+    head = len(cfg)
+    p, s = _cna(sd, f"features.{head + 1}.0", f"features.{head + 1}.1")
+    params["ConvNormActivation_1"] = p
+    stats["ConvNormActivation_1"] = s
+    params["Dense_0"] = {"kernel": convert_linear(sd["classifier.1.weight"]),
+                         "bias": jnp.asarray(_np(sd["classifier.1.bias"]))}
+    return {"params": params, "batch_stats": stats}
+
+
+__all__ += ["efficientnet_v2_from_torch"]
 
 
 def shufflenet_v2_from_torch(state_dict: Mapping) -> Dict:

@@ -457,3 +457,62 @@ class TestSegmentationLogits:
         for k in ref:
             np.testing.assert_allclose(
                 np.asarray(out[k]), ref[k].numpy().transpose(0, 2, 3, 1), atol=1e-4)
+
+
+class TestMobileNetV2Logits:
+    def test_converted_matches_reference(self, tvm):
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import mobilenet_v2_from_torch
+
+        torch.manual_seed(0)
+        tm = tvm.mobilenet_v2().eval()
+        variables = mobilenet_v2_from_torch(tm.state_dict())
+        ours = models.get_model("mobilenet_v2", num_classes=1000)
+        x = np.random.default_rng(0).random((2, 96, 96, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestEfficientNetV2Logits:
+    def test_converted_matches_reference(self, tvm):
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import efficientnet_v2_from_torch
+
+        torch.manual_seed(0)
+        tm = tvm.efficientnet_v2_s().eval()
+        variables = efficientnet_v2_from_torch(tm.state_dict(), "efficientnet_v2_s")
+        ours = models.get_model("efficientnet_v2_s", num_classes=1000)
+        x = np.random.default_rng(0).random((1, 128, 128, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+class TestSwinLogits:
+    """Live-reference check for the swin converter (the oracle-based tests
+    in test_torch_weights_transformers.py cover the math; this locks the
+    full torchvision layout incl. stochastic-depth-free eval path)."""
+
+    @pytest.mark.parametrize("name", ["swin_t", "swin_v2_t"])
+    def test_converted_matches_reference(self, tvm, name):
+        import torch
+
+        from cpu_vision_tpu import models
+        from cpu_vision_tpu.models.torch_weights import swin_from_torch
+
+        torch.manual_seed(0)
+        tm = getattr(tvm, name)().eval()
+        variables = swin_from_torch(tm.state_dict(), depths=(2, 2, 6, 2))
+        ours = models.get_model(name, num_classes=1000)
+        x = np.random.default_rng(0).random((1, 224, 224, 3), np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        out = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
