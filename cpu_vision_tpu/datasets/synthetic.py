@@ -33,8 +33,11 @@ _KINDS = [
 ]
 
 
-def _render(rng: np.random.Generator, cls: int, hw: int) -> np.ndarray:
-    """Render one HxWx3 uint8 glyph image for class ``cls``."""
+def _render(rng: np.random.Generator, cls: int, hw: int, want_mask: bool = False):
+    """Render one HxWx3 uint8 glyph image for class ``cls``.
+
+    With ``want_mask`` also returns the boolean glyph mask (ground truth for
+    the detection/segmentation variants)."""
     kind, filled = _KINDS[cls % len(_KINDS)]
     # textured background: low-frequency noise + per-image brightness
     bg = rng.normal(0, 1, (hw // 8 + 1, hw // 8 + 1, 3))
@@ -83,7 +86,8 @@ def _render(rng: np.random.Generator, cls: int, hw: int) -> np.ndarray:
     img = np.where(mask[..., None], fg[None, None, :], img)
     # pixel noise so trivial color statistics do not solve the task
     img = img + rng.normal(0, 12, img.shape)
-    return np.clip(img, 0, 255).astype(np.uint8)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    return (img, mask) if want_mask else img
 
 
 class SyntheticShapes(VisionDataset):
@@ -112,6 +116,75 @@ class SyntheticShapes(VisionDataset):
         rng = np.random.default_rng(index + self.random_offset)
         target = int(rng.integers(0, self.num_classes))
         img = _render(rng, target, self.image_size[0])
+        if self.transform is not None:
+            img = self.transform(img)
+        if self.target_transform is not None:
+            target = self.target_transform(target)
+        return img, target
+
+    def __len__(self):
+        return self.size
+
+
+class SyntheticShapesSegmentation(VisionDataset):
+    """Glyph dataset with per-pixel targets: 0 = background, 1 + class =
+    glyph pixels (VOC-style label map; plays the role CamVid/VOC play for
+    the reference's segmentation recipes)."""
+
+    def __init__(self, size: int = 2_000, image_size: Tuple[int, int, int] = (64, 64, 3),
+                 num_classes: int = 10, transform=None, target_transform=None,
+                 random_offset: int = 0):
+        if num_classes > len(_KINDS):
+            raise ValueError(f"at most {len(_KINDS)} classes supported")
+        super().__init__(None, transform=transform, target_transform=target_transform)
+        self.size = size
+        self.image_size = image_size
+        self.num_classes = num_classes
+        self.random_offset = random_offset
+
+    def __getitem__(self, index: int):
+        if index >= self.size:
+            raise IndexError(f"index {index} out of range for size {self.size}")
+        rng = np.random.default_rng(index + self.random_offset)
+        cls = int(rng.integers(0, self.num_classes))
+        img, mask = _render(rng, cls, self.image_size[0], want_mask=True)
+        target = np.where(mask, cls + 1, 0).astype(np.int32)
+        if self.transform is not None:
+            img = self.transform(img)
+        if self.target_transform is not None:
+            target = self.target_transform(target)
+        return img, target
+
+    def __len__(self):
+        return self.size
+
+
+class SyntheticShapesDetection(VisionDataset):
+    """Glyph dataset with box targets: one labelled glyph per image,
+    ``target = {"boxes": (1, 4) xyxy float32, "labels": (1,) int32}`` —
+    the COCO-detection sample contract of
+    :class:`~cpu_vision_tpu.datasets.CocoDetection`."""
+
+    def __init__(self, size: int = 2_000, image_size: Tuple[int, int, int] = (64, 64, 3),
+                 num_classes: int = 10, transform=None, target_transform=None,
+                 random_offset: int = 0):
+        if num_classes > len(_KINDS):
+            raise ValueError(f"at most {len(_KINDS)} classes supported")
+        super().__init__(None, transform=transform, target_transform=target_transform)
+        self.size = size
+        self.image_size = image_size
+        self.num_classes = num_classes
+        self.random_offset = random_offset
+
+    def __getitem__(self, index: int):
+        if index >= self.size:
+            raise IndexError(f"index {index} out of range for size {self.size}")
+        rng = np.random.default_rng(index + self.random_offset)
+        cls = int(rng.integers(0, self.num_classes))
+        img, mask = _render(rng, cls, self.image_size[0], want_mask=True)
+        ys, xs = np.nonzero(mask)
+        box = np.asarray([[xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]], np.float32)
+        target = {"boxes": box, "labels": np.asarray([cls], np.int32)}
         if self.transform is not None:
             img = self.transform(img)
         if self.target_transform is not None:

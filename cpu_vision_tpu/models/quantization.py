@@ -198,6 +198,12 @@ class QuantizableModel:
         return apply_int8(self.model, variables, *args,
                           min_size=self.min_size, **kwargs)
 
+    def calibrate(self, variables, batches, *args, **kwargs):
+        """Observer pass: run ``batches`` through the float model and return
+        ``{module_path: scale}`` for ``apply_int8(..., act_scales=...)``."""
+        return calibrate_activations(self.model, variables, batches, *args,
+                                     min_size=self.min_size, **kwargs)
+
 
 def _canon_pair(v, rank: int = 2):
     if v is None:
@@ -217,17 +223,22 @@ def _canon_padding(p, kernel):
     return [tuple(pp) if not isinstance(pp, int) else (pp, pp) for pp in p]
 
 
-def _int8_conv(mod, x: jax.Array) -> jax.Array:
+def _int8_conv(mod, x: jax.Array, act_scale=None) -> jax.Array:
     """nn.Conv forward as an int8 contraction (NHWC / HWIO).
 
     Symmetric quantisation makes zero the shared zero-point, so the conv's
-    zero padding is exact in the int8 domain.
+    zero padding is exact in the int8 domain.  ``act_scale`` (calibrated
+    static scale) skips the dynamic abs-max reduction — one full HBM pass
+    less per conv (see ``calibrate_activations``).
     """
     kernel = mod.variables["params"]["kernel"]
     bias = mod.variables["params"].get("bias")
     q_w, w_scale = quantize_weight(kernel, axis=-1)  # (..., I, O), scale (1,..,O)
-    x_amax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8)
-    x_scale = x_amax / 127.0
+    if act_scale is None:
+        x_amax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8)
+        x_scale = x_amax / 127.0
+    else:
+        x_scale = act_scale
     q_x = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
     spatial = kernel.ndim - 2
     dn = lax.conv_dimension_numbers(
@@ -249,21 +260,34 @@ def _int8_conv(mod, x: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def _int8_dense_module(mod, x: jax.Array) -> jax.Array:
+def _int8_dense_module(mod, x: jax.Array, act_scale=None) -> jax.Array:
     kernel = mod.variables["params"]["kernel"]
     bias = mod.variables["params"].get("bias")
-    out = int8_dense(x, jnp.clip(jnp.round(kernel / (jnp.maximum(jnp.max(jnp.abs(kernel), axis=0, keepdims=True), 1e-8) / 127.0)), -127, 127).astype(jnp.int8),
-                     jnp.maximum(jnp.max(jnp.abs(kernel), axis=0, keepdims=True), 1e-8) / 127.0)
+    w_scale = jnp.maximum(jnp.max(jnp.abs(kernel), axis=0, keepdims=True), 1e-8) / 127.0
+    q_w = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+    if act_scale is None:
+        out = int8_dense(x, q_w, w_scale)
+    else:
+        q_x = jnp.clip(jnp.round(x / act_scale), -127, 127).astype(jnp.int8)
+        acc = lax.dot_general(q_x, q_w, (((x.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * act_scale * w_scale
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)
 
 
-def apply_int8(model, variables, *args, min_size: int = 4096, **kwargs):
+def apply_int8(model, variables, *args, min_size: int = 4096, act_scales=None,
+               **kwargs):
     """Apply ``model`` with large Conv/Dense layers executed in int8 on the
     MXU (int32 accumulation), via flax method interception — the TPU-native
     replacement for the reference's converted int8 modules
-    (``models/quantization/resnet.py`` et al.)."""
+    (``models/quantization/resnet.py`` et al.).
+
+    ``act_scales``: optional ``{module_path: scale}`` from
+    :func:`calibrate_activations` — static (observer-style) activation
+    scales remove the per-layer dynamic abs-max reduction, the main HBM
+    cost of the dynamic scheme."""
     from flax import linen as nn
 
     def interceptor(next_fun, iargs, ikwargs, context):
@@ -276,18 +300,57 @@ def apply_int8(model, variables, *args, min_size: int = 4096, **kwargs):
             if kernel.size >= min_size and jnp.issubdtype(kernel.dtype, jnp.floating):
                 x = iargs[0]
                 if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+                    scale = None
+                    if act_scales is not None:
+                        scale = act_scales.get("/".join(mod.path))
+                        if scale is None:  # uncalibrated layer: stay float
+                            return next_fun(*iargs, **ikwargs)
                     if type(mod) is nn.Dense:
-                        return _int8_dense_module(mod, x)
+                        return _int8_dense_module(mod, x, scale)
                     no_in_dil = all(d == 1 for d in _canon_pair(mod.input_dilation, 2))
                     if kernel.ndim in (4, 5) and no_in_dil:
-                        return _int8_conv(mod, x)
+                        return _int8_conv(mod, x, scale)
         return next_fun(*iargs, **ikwargs)
 
     with nn.intercept_methods(interceptor):
         return model.apply(variables, *args, **kwargs)
 
 
-__all__ += ["apply_int8"]
+def calibrate_activations(model, variables, batches, *args_extra, min_size: int = 4096,
+                          **kwargs):
+    """Run calibration batches through the float model and record the max
+    |input| seen at every quantizable Conv/Dense — the TPU counterpart of
+    the reference's PTQ observer pass (``torch.ao`` MinMaxObserver inside
+    ``models/quantization/utils.py:quantize_model``).
+
+    Returns ``{module_path: float32 scale}`` for :func:`apply_int8`.
+    """
+    from flax import linen as nn
+
+    amax: Dict = {}
+
+    def interceptor(next_fun, iargs, ikwargs, context):
+        mod = context.module
+        if context.method_name == "__call__" and type(mod) in (nn.Conv, nn.Dense):
+            try:
+                kernel = mod.variables["params"]["kernel"]
+            except Exception:
+                return next_fun(*iargs, **ikwargs)
+            if kernel.size >= min_size and jnp.issubdtype(kernel.dtype, jnp.floating):
+                x = iargs[0]
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+                    key = "/".join(mod.path)
+                    m = float(jnp.max(jnp.abs(x)))
+                    amax[key] = max(amax.get(key, 0.0), m)
+        return next_fun(*iargs, **ikwargs)
+
+    with nn.intercept_methods(interceptor):
+        for batch in batches:
+            model.apply(variables, batch, *args_extra, **kwargs)
+    return {k: jnp.float32(max(v, 1e-8) / 127.0) for k, v in amax.items()}
+
+
+__all__ += ["apply_int8", "calibrate_activations"]
 
 
 def _register_quantized_builders():

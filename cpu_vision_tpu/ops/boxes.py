@@ -172,14 +172,29 @@ def nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float) -> jax.Array:
     order = jnp.argsort(-scores)
     sorted_boxes = boxes[order]
     iou = box_iou(sorted_boxes, sorted_boxes)
-    sup = iou > iou_threshold
+    # sup[j, i]: an earlier (higher-scored) box j would suppress box i
+    idx = jnp.arange(n)
+    sup = (iou > iou_threshold) & (idx[:, None] < idx[None, :])
 
-    def body(i, keep):
-        # if box i survives, suppress all later boxes overlapping it
-        row = sup[i] & (jnp.arange(n) > i)
-        return jnp.where(keep[i], keep & ~row, keep)
+    # Jacobi fixpoint of the greedy recursion keep[i] = !any_j<i(keep[j] &
+    # sup[j,i]) — the dependency graph is acyclic (strictly j<i), so the
+    # whole-vector update converges to the exact sequential-greedy answer in
+    # at most chain-depth iterations (typically < 30).  One O(n^2) masked
+    # reduction per step keeps the TPU on vector units instead of an
+    # n-iteration scalar loop (a 500-step fori_loop took minutes to compile
+    # on the Mosaic relay; this compiles in seconds).
+    def cond(state):
+        keep, prev, it = state
+        return (it < n) & jnp.any(keep != prev)
 
-    keep_sorted = lax.fori_loop(0, n, body, jnp.ones((n,), bool))
+    def body(state):
+        keep, _, it = state
+        new = ~jnp.any(sup & keep[:, None], axis=0)
+        return new, keep, it + 1
+
+    init = jnp.ones((n,), bool)
+    keep_sorted, _, _ = lax.while_loop(
+        cond, body, (init, jnp.zeros((n,), bool), jnp.int32(0)))
     # scatter back to input order
     keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
     return keep

@@ -109,6 +109,8 @@ def main(argv=None):
                 )
         # inference + COCO mAP on a held-out fake batch (reference evaluates
         # with coco_eval each epoch, references/detection/train.py:62-102)
+        import os, sys
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from coco_eval import CocoEvaluator
 
         ev = CocoEvaluator()

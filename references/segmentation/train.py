@@ -33,6 +33,10 @@ def get_args(argv=None):
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--aux-loss", action="store_true")
     p.add_argument("--fake-data", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="procedurally-labelled SyntheticShapesSegmentation (learnable)")
+    p.add_argument("--train-size", type=int, default=4000)
+    p.add_argument("--val-size", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -91,21 +95,51 @@ def main(argv=None):
         out = model.apply({"params": params, "batch_stats": batch_stats}, images, train=False)
         return jnp.argmax(out["out"], axis=-1)
 
+    mean = jnp.asarray((0.485, 0.456, 0.406), jnp.float32) * 255.0
+    std = jnp.asarray((0.229, 0.224, 0.225), jnp.float32) * 255.0
+    train_ds = val_ds = None
+    if args.synthetic:
+        from cpu_vision_tpu.datasets import SyntheticShapesSegmentation
+
+        shape = (s, s, 3)
+        train_ds = SyntheticShapesSegmentation(args.train_size, shape, nc - 1)
+        val_ds = SyntheticShapesSegmentation(args.val_size, shape, nc - 1,
+                                             random_offset=args.train_size)
+
+    def batch_at(ds, idxs):
+        imgs, tgts = zip(*[ds[i] for i in idxs])
+        x = (jnp.asarray(np.stack(imgs)).astype(jnp.float32) - mean) / std
+        return x, jnp.asarray(np.stack(tgts))
+
+    step_count = 0
     for epoch in range(args.epochs):
+        order = rng.permutation(len(train_ds)) if train_ds is not None else None
         for step in range(args.steps_per_epoch):
+            if train_ds is not None:
+                lo = (step * args.batch_size) % max(1, len(train_ds) - args.batch_size)
+                x, y = batch_at(train_ds, order[lo:lo + args.batch_size])
+            else:
+                x = jnp.asarray(rng.random((args.batch_size, s, s, 3), dtype=np.float32))
+                y = jnp.asarray(rng.integers(0, nc, (args.batch_size, s, s)))
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, x, y, jax.random.PRNGKey(step_count)
+            )
+            step_count += 1
+            if step % 5 == 0:
+                print(f"epoch {epoch} step {step}: loss {float(loss):.4f}", flush=True)
+        # eval mIoU (held-out when --synthetic, else a fake batch)
+        conf = jnp.zeros((nc, nc), jnp.int32)
+        if val_ds is not None:
+            for lo in range(0, len(val_ds) - args.batch_size + 1, args.batch_size):
+                x, y = batch_at(val_ds, range(lo, lo + args.batch_size))
+                preds = eval_step(params, batch_stats, x)
+                conf = conf + confusion_matrix(preds.reshape(-1), np.asarray(y).reshape(-1), nc)
+        else:
             x = jnp.asarray(rng.random((args.batch_size, s, s, 3), dtype=np.float32))
             y = jnp.asarray(rng.integers(0, nc, (args.batch_size, s, s)))
-            params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, x, y, jax.random.PRNGKey(step)
-            )
-            if step % 5 == 0:
-                print(f"epoch {epoch} step {step}: loss {float(loss):.4f}")
-        # eval mIoU on a fake batch
-        x = jnp.asarray(rng.random((args.batch_size, s, s, 3), dtype=np.float32))
-        y = jnp.asarray(rng.integers(0, nc, (args.batch_size, s, s)))
-        preds = eval_step(params, batch_stats, x)
-        conf = confusion_matrix(preds.reshape(-1), y.reshape(-1), nc)
-        print(f"epoch {epoch}: mIoU {miou(conf):.2f}%")
+            preds = eval_step(params, batch_stats, x)
+            conf = confusion_matrix(preds.reshape(-1), y.reshape(-1), nc)
+        print(f"epoch {epoch}: mIoU {miou(conf):.2f}%", flush=True)
     return params
 
 

@@ -55,9 +55,11 @@ for _n in ("retinanet_resnet50_fpn", "retinanet_resnet50_fpn_v2",
            "fcos_resnet50_fpn"):
     SPECIAL[_n] = (dict(num_classes=11, topk_candidates=50, max_detections=5),
                    lambda: (_img(128),))
-for _n in ("r3d_18", "mc3_18", "r2plus1d_18", "s3d",
+for _n in ("r3d_18", "mc3_18", "r2plus1d_18",
            "swin3d_t", "swin3d_s", "swin3d_b", "mvit_v1_b", "mvit_v2_s"):
     SPECIAL[_n] = ({}, lambda: (_vid(4, 64),))
+# s3d downsamples T by 8x (three stride-2 temporal pools) — needs T >= 8
+SPECIAL["s3d"] = ({}, lambda: (_vid(8, 64),))
 for _n in ("fcn_resnet50", "fcn_resnet101", "deeplabv3_resnet50",
            "deeplabv3_resnet101", "deeplabv3_mobilenet_v3_large",
            "lraspp_mobilenet_v3_large"):

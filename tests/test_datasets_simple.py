@@ -192,3 +192,70 @@ class TestExtra2Datasets:
         w = models.get_weight("ResNet18_Weights.IMAGENET1K_V1")
         assert w.meta["num_params"] == 11_689_512
         assert models.get_model_weights("resnet50").DEFAULT.meta["_metrics"]["ImageNet-1K"]["acc@1"] == 80.858
+
+
+class TestCalibratedInt8:
+    def test_calibrated_act_scales_match_dynamic(self, rng):
+        """calibrate_activations (observer-style static activation scales,
+        reference models/quantization/utils.py:quantize_model MinMaxObserver)
+        produces per-layer scales that keep apply_int8 as close to f32 as
+        the dynamic abs-max path."""
+        from cpu_vision_tpu import models
+
+        q = models.get_model("quantized_resnet18", num_classes=16)
+        x = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+        v = q.init(jax.random.PRNGKey(0), x, train=False)
+
+        cal_batches = [jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+                       for _ in range(2)]
+        scales = q.calibrate(v, cal_batches, train=False)
+        assert len(scales) >= 10  # every large conv/dense observed
+        assert all(float(s) > 0 for s in scales.values())
+
+        f32 = np.asarray(q.apply(v, x, train=False))
+        stat = np.asarray(q.apply_int8(v, x, act_scales=scales, train=False))
+        cos = float((f32 * stat).sum()
+                    / (np.linalg.norm(f32) * np.linalg.norm(stat) + 1e-12))
+        assert cos > 0.995
+        assert (f32.argmax(-1) == stat.argmax(-1)).mean() >= 0.5
+
+    def test_uncalibrated_layer_stays_float(self, rng):
+        """A module path missing from act_scales falls back to the float
+        kernel instead of guessing a scale."""
+        from cpu_vision_tpu import models
+
+        q = models.get_model("quantized_resnet18", num_classes=8)
+        x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+        v = q.init(jax.random.PRNGKey(0), x, train=False)
+        f32 = np.asarray(q.apply(v, x, train=False))
+        # empty calibration dict -> every layer uncalibrated -> pure float
+        out = np.asarray(q.apply_int8(v, x, act_scales={}, train=False))
+        np.testing.assert_allclose(out, f32, rtol=1e-5, atol=1e-5)
+
+
+class TestSyntheticTaskVariants:
+    def test_segmentation_variant(self):
+        from cpu_vision_tpu.datasets import SyntheticShapesSegmentation
+
+        ds = SyntheticShapesSegmentation(16, (48, 48, 3), 5)
+        img, tgt = ds[2]
+        img2, tgt2 = ds[2]
+        assert (img == img2).all() and (tgt == tgt2).all()
+        assert img.shape == (48, 48, 3) and tgt.shape == (48, 48)
+        assert tgt.min() == 0 and 1 <= tgt.max() <= 5
+        # the glyph occupies a nontrivial but minority share of pixels
+        frac = (tgt > 0).mean()
+        assert 0.01 < frac < 0.9
+
+    def test_detection_variant(self):
+        from cpu_vision_tpu.datasets import SyntheticShapesDetection
+
+        ds = SyntheticShapesDetection(16, (64, 64, 3), 6)
+        img, tgt = ds[5]
+        box = tgt["boxes"]
+        assert box.shape == (1, 4) and tgt["labels"].shape == (1,)
+        x1, y1, x2, y2 = box[0]
+        assert 0 <= x1 < x2 <= 64 and 0 <= y1 < y2 <= 64
+        assert 0 <= int(tgt["labels"][0]) < 6
+        # box really bounds the glyph: it must be tight against the mask
+        assert (x2 - x1) * (y2 - y1) >= 16
