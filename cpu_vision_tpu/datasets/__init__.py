@@ -62,7 +62,12 @@ from .video_utils import RandomClipSampler, UniformClipSampler, VideoClips  # no
 from . import samplers  # noqa: F401
 from .voc import VOC_CLASSES, VOCDetection, VOCSegmentation  # noqa: F401
 from .fakedata import FakeData  # noqa: F401
-from .synthetic import SyntheticShapes, SyntheticShapesDetection, SyntheticShapesSegmentation  # noqa: F401
+from .synthetic import (  # noqa: F401
+    SyntheticShapes,
+    SyntheticShapesDetection,
+    SyntheticShapesSegmentation,
+    SyntheticShapesVideo,
+)
 from .folder import DatasetFolder, ImageFolder  # noqa: F401
 from .loader import (  # noqa: F401
     BatchSampler,

@@ -159,6 +159,46 @@ class SyntheticShapesSegmentation(VisionDataset):
         return self.size
 
 
+class SyntheticShapesVideo(VisionDataset):
+    """Video glyph dataset with a *temporal* label: a random glyph drifts at
+    2 px/frame and the class is its motion direction (0=+x, 1=-x, 2=+y,
+    3=-y).  A single frame carries zero label information, so held-out
+    accuracy above chance proves the video model (3D convs / temporal
+    attention) actually integrates across time — the role Kinetics plays
+    for the reference's video recipe (``references/video_classification``)."""
+
+    num_classes = 4
+    _DIRS = [(0, 1), (0, -1), (1, 0), (-1, 0)]  # (dy, dx) per class
+
+    def __init__(self, size: int = 2_000, frames: int = 8, image_size: int = 64,
+                 transform=None, target_transform=None, random_offset: int = 0):
+        super().__init__(None, transform=transform, target_transform=target_transform)
+        self.size = size
+        self.frames = frames
+        self.image_size = image_size
+        self.random_offset = random_offset
+
+    def __getitem__(self, index: int):
+        if index >= self.size:
+            raise IndexError(f"index {index} out of range for size {self.size}")
+        rng = np.random.default_rng(index + self.random_offset)
+        cls = int(rng.integers(0, self.num_classes))
+        shape = int(rng.integers(0, len(_KINDS)))
+        base = _render(rng, shape, self.image_size)
+        dy, dx = self._DIRS[cls]
+        video = np.stack([np.roll(base, (2 * t * dy, 2 * t * dx), axis=(0, 1))
+                          for t in range(self.frames)])  # (T, H, W, 3)
+        if self.transform is not None:
+            video = self.transform(video)
+        target = cls
+        if self.target_transform is not None:
+            target = self.target_transform(target)
+        return video, target
+
+    def __len__(self):
+        return self.size
+
+
 class SyntheticShapesDetection(VisionDataset):
     """Glyph dataset with box targets: one labelled glyph per image,
     ``target = {"boxes": (1, 4) xyxy float32, "labels": (1,) int32}`` —

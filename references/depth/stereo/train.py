@@ -86,6 +86,10 @@ def get_args(argv=None):
     p.add_argument("--gamma", type=float, default=0.9,
                    help="reference default loss gamma (train.py:--gamma)")
     p.add_argument("--fake-data", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="variable-disparity glyph pairs (learnable task)")
+    p.add_argument("--max-disp", type=int, default=5)
+    p.add_argument("--val-batches", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -100,13 +104,39 @@ def make_fake_batch(rng, n, s):
     return jnp.asarray(left), jnp.asarray(right), jnp.asarray(disp), jnp.asarray(valid)
 
 
+def make_synthetic_batch(rng, n, s, max_disp):
+    """Glyph images under a random per-sample disparity (right = roll(left,
+    -d)); torus wrap keeps every pixel matched, so the constant-d ground
+    truth is exact — a learnable stand-in for SceneFlow/Middlebury."""
+    from cpu_vision_tpu.datasets.synthetic import _render
+
+    left = np.stack([
+        _render(np.random.default_rng(int(rng.integers(0, 2**31))),
+                int(rng.integers(0, 10)), s) for _ in range(n)
+    ]).astype(np.float32) / 255.0
+    right = np.empty_like(left)
+    disp = np.zeros((n, s, s, 1), np.float32)
+    for i in range(n):
+        d = int(rng.integers(0, max_disp + 1))
+        right[i] = np.roll(left[i], -d, axis=1)
+        disp[i] = float(d)
+    valid = np.ones((n, s, s), bool)
+    return jnp.asarray(left), jnp.asarray(right), jnp.asarray(disp), jnp.asarray(valid)
+
+
 def main(argv=None):
     args = get_args(argv)
     rng = np.random.default_rng(args.seed)
     s = args.image_size
 
     model = models.get_model(args.model, iters=args.iters)
-    left, right, disp_gt, valid = make_fake_batch(rng, args.batch_size, s)
+
+    def next_batch(r):
+        if args.synthetic:
+            return make_synthetic_batch(r, args.batch_size, s, args.max_disp)
+        return make_fake_batch(r, args.batch_size, s)
+
+    left, right, disp_gt, valid = next_batch(rng)
     variables = model.init(jax.random.PRNGKey(args.seed), left, right, train=False)
     params = variables["params"]
 
@@ -133,13 +163,24 @@ def main(argv=None):
 
     for epoch in range(args.epochs):
         for step in range(args.steps_per_epoch):
-            if args.fake_data:
-                left, right, disp_gt, valid = make_fake_batch(rng, args.batch_size, s)
+            if args.fake_data or args.synthetic:
+                left, right, disp_gt, valid = next_batch(rng)
             params, opt_state, loss = train_step(params, opt_state, left, right,
                                                  disp_gt, valid)
-            print(f"epoch {epoch} step {step} loss {float(loss):.4f}")
-        m = eval_step(params, left, right, disp_gt, valid)
-        print("eval: " + " ".join(f"{k}={float(v):.3f}" for k, v in m.items()))
+            if step % 10 == 0:
+                print(f"epoch {epoch} step {step} loss {float(loss):.4f}", flush=True)
+        if args.synthetic:
+            val_rng = np.random.default_rng(args.seed + 10_000)
+            acc = None
+            for _ in range(args.val_batches):
+                b = make_synthetic_batch(val_rng, args.batch_size, s, args.max_disp)
+                m = eval_step(params, *b)
+                acc = m if acc is None else {k: acc[k] + m[k] for k in m}
+            m = {k: v / args.val_batches for k, v in acc.items()}
+        else:
+            m = eval_step(params, left, right, disp_gt, valid)
+        print("eval: " + " ".join(f"{k}={float(v):.3f}" for k, v in m.items()),
+              flush=True)
 
 
 if __name__ == "__main__":

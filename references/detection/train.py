@@ -31,7 +31,13 @@ def get_args(argv=None):
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--steps-per-epoch", type=int, default=10)
     p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--warmup-steps", type=int, default=100)
+    p.add_argument("--grad-clip", type=float, default=10.0)
     p.add_argument("--fake-data", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="procedurally-labelled SyntheticShapesDetection (learnable)")
+    p.add_argument("--train-size", type=int, default=4000)
+    p.add_argument("--val-size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -67,12 +73,18 @@ def main(argv=None):
     variables = model.init(jax.random.PRNGKey(args.seed), sample, train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
 
-    tx = optax.sgd(
-        optax.join_schedules(
-            [optax.linear_schedule(0.0, args.lr, 5),
-             optax.constant_schedule(args.lr)], [5]
+    # reference recipe: SGD + linear warmup (references/detection/engine.py:27
+    # warms up over min(1000, len(loader)-1) iters); focal-loss detection
+    # heads spike early, so clip the global grad norm as a guard
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.grad_clip),
+        optax.sgd(
+            optax.join_schedules(
+                [optax.linear_schedule(0.0, args.lr, args.warmup_steps),
+                 optax.constant_schedule(args.lr)], [args.warmup_steps]
+            ),
+            momentum=0.9,
         ),
-        momentum=0.9,
     )
     opt_state = tx.init(params)
 
@@ -93,42 +105,89 @@ def main(argv=None):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, opt_state, losses
 
+    mean = jnp.asarray((0.485, 0.456, 0.406), jnp.float32) * 255.0
+    std = jnp.asarray((0.229, 0.224, 0.225), jnp.float32) * 255.0
+    train_ds = val_ds = None
+    if args.synthetic:
+        from cpu_vision_tpu.datasets import SyntheticShapesDetection
+
+        shape = (s, s, 3)
+        train_ds = SyntheticShapesDetection(args.train_size, shape, args.num_classes)
+        val_ds = SyntheticShapesDetection(args.val_size, shape, args.num_classes,
+                                          random_offset=args.train_size)
+
+    def batch_at(ds, idxs):
+        """Stack dataset samples into the padded fixed-shape target arrays."""
+        g = args.max_boxes
+        imgs, boxes, labels, valid = [], [], [], []
+        for i in idxs:
+            img, tgt = ds[i]
+            n = tgt["boxes"].shape[0]
+            b = np.zeros((g, 4), np.float32)
+            l = np.zeros((g,), np.int32)
+            v = np.zeros((g,), bool)
+            b[:n], l[:n], v[:n] = tgt["boxes"][:g], tgt["labels"][:g], True
+            imgs.append(img)
+            boxes.append(b)
+            labels.append(l)
+            valid.append(v)
+        x = (jnp.asarray(np.stack(imgs)).astype(jnp.float32) - mean) / std
+        return (x, jnp.asarray(np.stack(boxes)), jnp.asarray(np.stack(labels)),
+                jnp.asarray(np.stack(valid)))
+
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from coco_eval import CocoEvaluator
+
     for epoch in range(args.epochs):
+        order = rng.permutation(len(train_ds)) if train_ds is not None else None
         for step in range(args.steps_per_epoch):
-            x = jnp.asarray(rng.random((args.batch_size, s, s, 3), dtype=np.float32))
-            gt_boxes, gt_labels, gt_valid = fake_targets(
-                rng, args.batch_size, args.max_boxes, args.num_classes, s
-            )
+            if train_ds is not None:
+                lo = (step * args.batch_size) % max(1, len(train_ds) - args.batch_size)
+                x, gt_boxes, gt_labels, gt_valid = batch_at(train_ds, order[lo:lo + args.batch_size])
+            else:
+                x = jnp.asarray(rng.random((args.batch_size, s, s, 3), dtype=np.float32))
+                gt_boxes, gt_labels, gt_valid = fake_targets(
+                    rng, args.batch_size, args.max_boxes, args.num_classes, s
+                )
             params, batch_stats, opt_state, losses = train_step(
                 params, batch_stats, opt_state, x, gt_boxes, gt_labels, gt_valid
             )
             if step % 5 == 0:
                 print(
                     f"epoch {epoch} step {step}: cls {float(losses['classification']):.4f} "
-                    f"reg {float(losses['bbox_regression']):.4f}"
+                    f"reg {float(losses['bbox_regression']):.4f}", flush=True
                 )
-        # inference + COCO mAP on a held-out fake batch (reference evaluates
-        # with coco_eval each epoch, references/detection/train.py:62-102)
-        import os, sys
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from coco_eval import CocoEvaluator
-
+        # inference + COCO mAP (held-out set when --synthetic, else a fake
+        # batch; reference evaluates with coco_eval each epoch,
+        # references/detection/train.py:62-102)
         ev = CocoEvaluator()
-        x = jnp.asarray(rng.random((2, s, s, 3), dtype=np.float32))
-        gt_boxes, gt_labels, gt_valid = fake_targets(rng, 2, args.max_boxes,
-                                                     args.num_classes, s)
-        cls, reg, anchors = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
-        dets = model.postprocess(cls, reg, anchors, (s, s))
-        for i in range(x.shape[0]):
-            keep = np.asarray(dets["valid"][i])
-            gk = np.asarray(gt_valid[i])
-            ev.update(np.asarray(dets["boxes"][i])[keep],
-                      np.asarray(dets["scores"][i])[keep],
-                      np.asarray(dets["labels"][i])[keep],
-                      np.asarray(gt_boxes[i])[gk], np.asarray(gt_labels[i])[gk])
+        n_det = 0
+
+        def eval_batch(x, gt_boxes, gt_labels, gt_valid):
+            nonlocal n_det
+            cls, reg, anchors = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False)
+            dets = model.postprocess(cls, reg, anchors, (s, s))
+            n_det += int(dets["valid"].sum())
+            for i in range(x.shape[0]):
+                keep = np.asarray(dets["valid"][i])
+                gk = np.asarray(gt_valid[i])
+                ev.update(np.asarray(dets["boxes"][i])[keep],
+                          np.asarray(dets["scores"][i])[keep],
+                          np.asarray(dets["labels"][i])[keep],
+                          np.asarray(gt_boxes[i])[gk], np.asarray(gt_labels[i])[gk])
+
+        if val_ds is not None:
+            for lo in range(0, len(val_ds) - args.batch_size + 1, args.batch_size):
+                eval_batch(*batch_at(val_ds, range(lo, lo + args.batch_size)))
+        else:
+            x = jnp.asarray(rng.random((2, s, s, 3), dtype=np.float32))
+            gt = fake_targets(rng, 2, args.max_boxes, args.num_classes, s)
+            eval_batch(x, *gt)
         stats = ev.summarize()
-        print(f"epoch {epoch}: {int(dets['valid'].sum())} detections, "
-              f"mAP {stats['map']:.4f} mAP50 {stats['map_50']:.4f}")
+        print(f"epoch {epoch}: {n_det} detections, "
+              f"mAP {stats['map']:.4f} mAP50 {stats['map_50']:.4f}", flush=True)
     return params
 
 

@@ -78,6 +78,10 @@ def get_args(argv=None):
                    help="reference uses AdamW(wd=1e-4)")
     p.add_argument("--gamma", type=float, default=0.8)
     p.add_argument("--fake-data", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="variable-shift glyph pairs (learnable flow task)")
+    p.add_argument("--max-shift", type=int, default=5)
+    p.add_argument("--val-batches", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -93,13 +97,44 @@ def make_fake_batch(rng, n, s):
     return jnp.asarray(img1), jnp.asarray(img2), jnp.asarray(flow), jnp.asarray(valid)
 
 
+def make_synthetic_batch(rng, n, s, max_shift):
+    """Glyph images under a random per-sample integer translation.
+
+    img2 = roll(img1, (dy, dx)); the torus wrap keeps every pixel matched,
+    so ground-truth flow is the constant (dx, dy) and all pixels are valid —
+    a minimal but genuinely learnable stand-in for FlyingChairs
+    (reference references/optical_flow/train.py trains RAFT on chairs first).
+    """
+    from cpu_vision_tpu.datasets.synthetic import _render
+
+    img1 = np.stack([
+        _render(np.random.default_rng(int(rng.integers(0, 2**31))),
+                int(rng.integers(0, 10)), s) for _ in range(n)
+    ]).astype(np.float32) / 255.0
+    flow = np.zeros((n, s, s, 2), np.float32)
+    img2 = np.empty_like(img1)
+    for i in range(n):
+        dy, dx = rng.integers(-max_shift, max_shift + 1, 2)
+        img2[i] = np.roll(img1[i], (dy, dx), axis=(0, 1))
+        flow[i, ..., 0] = dx
+        flow[i, ..., 1] = dy
+    valid = np.ones((n, s, s), bool)
+    return jnp.asarray(img1), jnp.asarray(img2), jnp.asarray(flow), jnp.asarray(valid)
+
+
 def main(argv=None):
     args = get_args(argv)
     rng = np.random.default_rng(args.seed)
     s = args.image_size
 
     model = models.get_model(args.model, iters=args.iters)
-    img1, img2, flow_gt, valid = make_fake_batch(rng, args.batch_size, s)
+
+    def next_batch(r):
+        if args.synthetic:
+            return make_synthetic_batch(r, args.batch_size, s, args.max_shift)
+        return make_fake_batch(r, args.batch_size, s)
+
+    img1, img2, flow_gt, valid = next_batch(rng)
     variables = model.init(jax.random.PRNGKey(args.seed), img1, img2, train=False)
     params = variables["params"]
 
@@ -126,13 +161,25 @@ def main(argv=None):
 
     for epoch in range(args.epochs):
         for step in range(args.steps_per_epoch):
-            if args.fake_data:
-                img1, img2, flow_gt, valid = make_fake_batch(rng, args.batch_size, s)
+            if args.fake_data or args.synthetic:
+                img1, img2, flow_gt, valid = next_batch(rng)
             params, opt_state, loss = train_step(params, opt_state, img1, img2,
                                                  flow_gt, valid)
-            print(f"epoch {epoch} step {step} loss {float(loss):.4f}")
-        m = eval_step(params, img1, img2, flow_gt, valid)
-        print("eval: " + " ".join(f"{k}={float(v):.3f}" for k, v in m.items()))
+            if step % 10 == 0:
+                print(f"epoch {epoch} step {step} loss {float(loss):.4f}", flush=True)
+        # held-out eval: a fixed rng stream disjoint from training draws
+        if args.synthetic:
+            val_rng = np.random.default_rng(args.seed + 10_000)
+            acc = None
+            for _ in range(args.val_batches):
+                b = make_synthetic_batch(val_rng, args.batch_size, s, args.max_shift)
+                m = eval_step(params, *b)
+                acc = m if acc is None else {k: acc[k] + m[k] for k in m}
+            m = {k: v / args.val_batches for k, v in acc.items()}
+        else:
+            m = eval_step(params, img1, img2, flow_gt, valid)
+        print("eval: " + " ".join(f"{k}={float(v):.3f}" for k, v in m.items()),
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -144,6 +144,10 @@ def get_args(argv=None):
     p.add_argument("--mining", choices=["batch_all", "batch_hard"],
                    default="batch_all")
     p.add_argument("--fake-data", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="SyntheticShapes corpus (learnable metric task)")
+    p.add_argument("--train-size", type=int, default=1600)
+    p.add_argument("--val-size", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -154,10 +158,23 @@ def main(argv=None):
     s = args.image_size
     p_, k = args.labels_per_batch, args.samples_per_label
 
-    # fake FashionMNIST-like corpus (the reference trains on FashionMNIST)
-    n_corpus, n_labels = 10 * k, max(p_ + 1, 6)
-    images = rng.random((n_corpus, s, s, 3), dtype=np.float32)
-    groups = rng.integers(0, n_labels, n_corpus).tolist()
+    if args.synthetic:
+        # glyph corpus: embedding must cluster by shape concept, and the
+        # held-out pair accuracy is measured on unseen renders — the role
+        # FashionMNIST plays for the reference's recipe
+        from cpu_vision_tpu.datasets import SyntheticShapes
+
+        ds = SyntheticShapes(args.train_size, (s, s, 3))
+        images = np.stack([np.asarray(ds[i][0]) for i in range(len(ds))]).astype(np.float32) / 255.0
+        groups = [int(ds[i][1]) for i in range(len(ds))]
+        val_ds = SyntheticShapes(args.val_size, (s, s, 3), random_offset=args.train_size)
+        val_images = np.stack([np.asarray(val_ds[i][0]) for i in range(len(val_ds))]).astype(np.float32) / 255.0
+        val_groups = np.asarray([int(val_ds[i][1]) for i in range(len(val_ds))])
+    else:
+        # fake FashionMNIST-like corpus (the reference trains on FashionMNIST)
+        n_corpus, n_labels = 10 * k, max(p_ + 1, 6)
+        images = rng.random((n_corpus, s, s, 3), dtype=np.float32)
+        groups = rng.integers(0, n_labels, n_corpus).tolist()
     sampler = iter(PKSampler(groups, p_, k, seed=args.seed))
 
     net = EmbeddingNet(models.get_model(args.model, num_classes=args.embedding_dim))
@@ -198,13 +215,21 @@ def main(argv=None):
             y = jnp.asarray([groups[i] for i in idx])
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, x, y)
-            print(f"epoch {epoch} step {step} loss {float(loss):.4f}")
+            if step % 10 == 0:
+                print(f"epoch {epoch} step {step} loss {float(loss):.4f}", flush=True)
         vs = {"params": params}
         if batch_stats is not None:
             vs["batch_stats"] = batch_stats
-        emb = net.apply(vs, jnp.asarray(images[: 4 * k]))
-        acc = evaluate_pair_accuracy(emb, np.asarray(groups[: 4 * k]))
-        print(f"eval pair-accuracy (best threshold): {acc:.3f}")
+        if args.synthetic:
+            emb = np.concatenate([
+                np.asarray(net.apply(vs, jnp.asarray(val_images[lo:lo + p_ * k])))
+                for lo in range(0, len(val_images) - p_ * k + 1, p_ * k)])
+            acc = evaluate_pair_accuracy(emb, val_groups[: emb.shape[0]])
+            print(f"eval held-out pair-accuracy (best threshold): {acc:.3f}", flush=True)
+        else:
+            emb = net.apply(vs, jnp.asarray(images[: 4 * k]))
+            acc = evaluate_pair_accuracy(emb, np.asarray(groups[: 4 * k]))
+            print(f"eval pair-accuracy (best threshold): {acc:.3f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,10 @@ def get_args(argv=None):
     p.add_argument("--steps-per-epoch", type=int, default=5)
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--fake-data", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="motion-direction SyntheticShapesVideo (temporal label)")
+    p.add_argument("--train-size", type=int, default=2000)
+    p.add_argument("--val-size", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -70,6 +74,50 @@ def main(argv=None):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+    if args.synthetic:
+        # motion-direction task: the label is invisible in any single frame,
+        # so held-out accuracy above 25% proves temporal integration
+        from cpu_vision_tpu.datasets import SyntheticShapesVideo
+
+        if args.num_classes != SyntheticShapesVideo.num_classes:
+            raise SystemExit("--synthetic requires --num-classes 4")
+        train_ds = SyntheticShapesVideo(args.train_size, t, s)
+        val_ds = SyntheticShapesVideo(args.val_size, t, s,
+                                      random_offset=args.train_size)
+
+        @jax.jit
+        def eval_step(params, batch_stats, x):
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              x, train=False)
+            return jnp.argmax(out, axis=-1)
+
+        def batch_at(ds, idxs):
+            vids, ys = zip(*[ds[i] for i in idxs])
+            return (jnp.asarray(np.stack(vids)).astype(jnp.float32) / 255.0,
+                    jnp.asarray(np.asarray(ys)))
+
+        step_count = 0
+        for epoch in range(args.epochs):
+            order = rng.permutation(len(train_ds))
+            for step in range(args.steps_per_epoch):
+                lo = (step * args.batch_size) % max(1, len(train_ds) - args.batch_size)
+                x, y = batch_at(train_ds, order[lo:lo + args.batch_size])
+                params, batch_stats, opt_state, loss = train_step(
+                    params, batch_stats, opt_state, x, y)
+                if step % 10 == 0:
+                    print(f"epoch {epoch} step {step}: loss {float(loss):.4f}",
+                          flush=True)
+                step_count += 1
+            correct = total = 0
+            for lo in range(0, len(val_ds) - args.batch_size + 1, args.batch_size):
+                x, y = batch_at(val_ds, range(lo, lo + args.batch_size))
+                preds = eval_step(params, batch_stats, x)
+                correct += int((preds == y).sum())
+                total += int(y.shape[0])
+            print(f"epoch {epoch}: held-out acc {100 * correct / max(total, 1):.1f}%",
+                  flush=True)
+        return params
 
     clip_ids = list(sampler)
     step = 0

@@ -247,6 +247,20 @@ class TestSyntheticTaskVariants:
         frac = (tgt > 0).mean()
         assert 0.01 < frac < 0.9
 
+    def test_video_variant(self):
+        from cpu_vision_tpu.datasets import SyntheticShapesVideo
+
+        ds = SyntheticShapesVideo(16, frames=6, image_size=48)
+        vid, cls = ds[3]
+        vid2, cls2 = ds[3]
+        assert (vid == vid2).all() and cls == cls2
+        assert vid.shape == (6, 48, 48, 3) and vid.dtype == np.uint8
+        assert 0 <= cls < 4
+        # the label is temporal: frame t+1 is frame t rolled by the class
+        # direction, and no single frame differs across classes in kind
+        dy, dx = SyntheticShapesVideo._DIRS[cls]
+        assert (np.roll(vid[0], (2 * dy, 2 * dx), axis=(0, 1)) == vid[1]).all()
+
     def test_detection_variant(self):
         from cpu_vision_tpu.datasets import SyntheticShapesDetection
 
