@@ -157,6 +157,31 @@ def main():
     rel = float(np.linalg.norm(lo_8 - lo_f) / max(np.linalg.norm(lo_f), 1e-9)) * 100
     rows.append(emit("int8_logit_rel_err", rel, "%"))
 
+    # 6c. ViT-B/16 bf16 inference b256 — the transformer-flagship counterpart
+    # of the R50 row (dense matmuls, MXU-dominated).
+    vit = models.get_model("vit_b_16", num_classes=1000, dtype=jnp.bfloat16)
+    vvars = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False)
+    fv = jax.jit(lambda v, t: vit.apply(v, t, train=False))
+    dtv = bench(fv, vvars, x, iters=10)
+    vit_ips = 256 / dtv
+    rows.append(emit("vit_b16_infer_b256_bf16", vit_ips, "img/s"))
+    # ViT-B/16 fwd ~17.6 GFLOP/img at 224x224
+    rows.append(emit("vit_b16_infer_mfu_pct", vit_ips * 17.6e9 / 197e12 * 100, "%"))
+
+    # 6d. detection end-to-end (fixed-shape redesign): FasterRCNN-R50-FPN
+    # inference at 640x640 b8 — backbone + RPN + RoI heads + NMS, all one
+    # jitted program (the reference runs this as a Python pipeline over
+    # dynamic shapes; here the whole thing is static and fused).
+    from cpu_vision_tpu.models import detection as det
+
+    rcnn = det.FasterRCNN(num_classes=91, rpn_pre_nms_top_n=1000,
+                          rpn_post_nms_top_n=300, max_detections=100)
+    dx = jnp.asarray(rng.random((8, 640, 640, 3), dtype=np.float32))
+    dvars = rcnn.init(jax.random.PRNGKey(0), dx[:1], train=False)
+    fd = jax.jit(lambda v, t: rcnn.apply(v, t, train=False))
+    dtd = bench(fd, dvars, dx, iters=5)
+    rows.append(emit("fasterrcnn_640_infer_b8", 8 / dtd, "img/s"))
+
     import optax
 
     tx = optax.sgd(0.1, momentum=0.9)

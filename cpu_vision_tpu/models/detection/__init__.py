@@ -16,7 +16,12 @@ from .ssdlite import SSDLite, ssdlite320_mobilenet_v3_large  # noqa: F401
 from .ssd import SSD, DefaultBoxGenerator, ssd300_vgg16  # noqa: F401
 from .mask_rcnn import MaskRCNN, MaskRCNNHeads, maskrcnn_resnet50_fpn  # noqa: F401
 from .retinanet import RetinaNet, RetinaNetHead, retinanet_resnet50_fpn  # noqa: F401
-from .roi_heads import FastRCNNPredictor, RoIHeads, TwoMLPHead  # noqa: F401
+from .roi_heads import (  # noqa: F401
+    FastRCNNPredictor,
+    RoIHeads,
+    TwoMLPHead,
+    paste_masks_in_image,
+)
 from .rpn import RegionProposalNetwork, RPNHead  # noqa: F401
 from .generalized_rcnn import detect  # noqa: F401
 from .transform import GeneralizedRCNNTransform  # noqa: F401

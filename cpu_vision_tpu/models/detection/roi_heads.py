@@ -19,7 +19,67 @@ from ...ops.poolers import multiscale_roi_align
 from ._utils import BalancedPositiveNegativeSampler, BoxCoder, Matcher
 from .rpn import smooth_l1
 
-__all__ = ["TwoMLPHead", "FastRCNNConvFCHead", "FastRCNNPredictor", "RoIHeads"]
+__all__ = ["TwoMLPHead", "FastRCNNConvFCHead", "FastRCNNPredictor", "RoIHeads",
+           "paste_masks_in_image"]
+
+
+def paste_masks_in_image(masks: jnp.ndarray, boxes: jnp.ndarray,
+                         image_size: Tuple[int, int],
+                         padding: int = 1) -> jnp.ndarray:
+    """Paste per-detection mask probabilities into full-image canvases.
+
+    Reference semantics (``roi_heads.py:392-474``: ``expand_masks`` 1-px
+    zero pad + box expansion by ``(M+2p)/M``, integer-truncated box, bilinear
+    ``align_corners=False`` resize to the box, paste clipped to the image) —
+    re-designed for TPU as a static-shape inverse map: every output pixel
+    bilinearly samples the padded mask at its pre-image, so the whole op is
+    one vectorised gather over a fixed (D, H, W) grid (no dynamic resize,
+    no per-box python loop) and jit/vmap-compatible.
+
+    masks: (D, M, M) float probabilities; boxes: (D, 4) xyxy float;
+    returns (D, H, W) float, zero outside each box.
+    """
+    h_img, w_img = image_size
+    m = masks.shape[-1]
+    scale = float(m + 2 * padding) / m
+    padded = jnp.pad(masks, ((0, 0), (padding, padding), (padding, padding)))
+    mp = m + 2 * padding
+
+    # expand about the center, then truncate toward zero like `.to(int64)`
+    w_half = (boxes[:, 2] - boxes[:, 0]) * 0.5 * scale
+    h_half = (boxes[:, 3] - boxes[:, 1]) * 0.5 * scale
+    x_c = (boxes[:, 2] + boxes[:, 0]) * 0.5
+    y_c = (boxes[:, 3] + boxes[:, 1]) * 0.5
+    x0 = jnp.trunc(x_c - w_half).astype(jnp.int32)
+    y0 = jnp.trunc(y_c - h_half).astype(jnp.int32)
+    x1 = jnp.trunc(x_c + w_half).astype(jnp.int32)
+    y1 = jnp.trunc(y_c + h_half).astype(jnp.int32)
+    bw = jnp.maximum(x1 - x0 + 1, 1)
+    bh = jnp.maximum(y1 - y0 + 1, 1)
+
+    ys = jnp.arange(h_img, dtype=jnp.float32)
+    xs = jnp.arange(w_img, dtype=jnp.float32)
+
+    def one(mask, px0, py0, pbw, pbh, px1, py1):
+        # interpolate's align_corners=False source coordinate, border-clamped
+        sy = (ys - py0 + 0.5) * (mp / pbh) - 0.5
+        sx = (xs - px0 + 0.5) * (mp / pbw) - 0.5
+        sy = jnp.clip(sy, 0.0, mp - 1.0)
+        sx = jnp.clip(sx, 0.0, mp - 1.0)
+        y_lo = jnp.floor(sy).astype(jnp.int32)
+        x_lo = jnp.floor(sx).astype(jnp.int32)
+        y_hi = jnp.minimum(y_lo + 1, mp - 1)
+        x_hi = jnp.minimum(x_lo + 1, mp - 1)
+        wy = (sy - y_lo)[:, None]
+        wx = (sx - x_lo)[None, :]
+        v = (mask[y_lo][:, x_lo] * (1 - wy) * (1 - wx)
+             + mask[y_lo][:, x_hi] * (1 - wy) * wx
+             + mask[y_hi][:, x_lo] * wy * (1 - wx)
+             + mask[y_hi][:, x_hi] * wy * wx)
+        inside = ((ys >= py0) & (ys <= py1))[:, None] & ((xs >= px0) & (xs <= px1))[None, :]
+        return jnp.where(inside, v, 0.0)
+
+    return jax.vmap(one)(padded.astype(jnp.float32), x0, y0, bw, bh, x1, y1)
 
 
 class TwoMLPHead(nn.Module):

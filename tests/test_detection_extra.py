@@ -79,3 +79,60 @@ class TestRAFT:
 
         names = list_models()
         assert "raft_large" in names and "raft_small" in names
+
+
+class TestPasteMasks:
+    def _torch_oracle(self, masks, boxes, im_h, im_w, padding=1):
+        """Re-derivation of the reference algorithm (roi_heads.py:392-474):
+        1-px zero pad, box expansion by (M+2p)/M, int truncation, bilinear
+        align_corners=False resize to the box, clipped paste."""
+        import torch
+        import torch.nn.functional as TF
+
+        m = masks.shape[-1]
+        scale = float(m + 2 * padding) / m
+        t = torch.from_numpy(masks)
+        t = TF.pad(t, (padding,) * 4)
+        b = torch.from_numpy(boxes)
+        w_half = (b[:, 2] - b[:, 0]) * 0.5 * scale
+        h_half = (b[:, 3] - b[:, 1]) * 0.5 * scale
+        x_c = (b[:, 2] + b[:, 0]) * 0.5
+        y_c = (b[:, 3] + b[:, 1]) * 0.5
+        eb = torch.stack([x_c - w_half, y_c - h_half, x_c + w_half, y_c + h_half], 1)
+        eb = eb.to(torch.int64)
+        out = np.zeros((masks.shape[0], im_h, im_w), np.float32)
+        for i in range(masks.shape[0]):
+            x0, y0, x1, y1 = (int(v) for v in eb[i])
+            w = max(x1 - x0 + 1, 1)
+            h = max(y1 - y0 + 1, 1)
+            r = TF.interpolate(t[i][None, None], size=(h, w), mode="bilinear",
+                               align_corners=False)[0, 0]
+            xs0, xs1 = max(x0, 0), min(x1 + 1, im_w)
+            ys0, ys1 = max(y0, 0), min(y1 + 1, im_h)
+            out[i, ys0:ys1, xs0:xs1] = r[(ys0 - y0):(ys1 - y0), (xs0 - x0):(xs1 - x0)].numpy()
+        return out
+
+    def test_matches_reference_algorithm(self, rng):
+        torch = pytest.importorskip("torch")  # noqa: F841
+        m = 14
+        masks = rng.random((5, m, m), dtype=np.float32)
+        boxes = np.stack([
+            [4.3, 6.1, 30.7, 25.2],
+            [0.0, 0.0, 10.0, 10.0],
+            [40.0, 30.0, 63.9, 47.9],   # touches the image edge
+            [-5.0, -3.0, 12.0, 9.0],    # partially outside
+            [20.0, 20.0, 21.0, 21.0],   # tiny box
+        ]).astype(np.float32)
+        got = np.asarray(det.paste_masks_in_image(jnp.asarray(masks),
+                                                  jnp.asarray(boxes), (48, 64)))
+        want = self._torch_oracle(masks, boxes, 48, 64)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_jits_and_vmaps(self, rng):
+        masks = jnp.asarray(rng.random((2, 3, 14, 14), dtype=np.float32))
+        boxes = jnp.asarray(rng.random((2, 3, 4), dtype=np.float32) * 20)
+        boxes = boxes.at[..., 2:].add(20)
+        f = jax.jit(jax.vmap(lambda mk, bx: det.paste_masks_in_image(mk, bx, (32, 32))))
+        out = f(masks, boxes)
+        assert out.shape == (2, 3, 32, 32)
+        assert np.isfinite(np.asarray(out)).all()
