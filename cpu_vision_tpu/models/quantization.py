@@ -353,12 +353,70 @@ def calibrate_activations(model, variables, batches, *args_extra, min_size: int 
 __all__ += ["apply_int8", "calibrate_activations"]
 
 
+def _make_quantized_weight_enums():
+    """Per-family ``*_QuantizedWeights`` enums (reference
+    ``models/quantization/*.py``: fbgemm/qnnpack checkpoints with int8
+    ImageNet metrics, e.g. ``quantization/resnet.py:164-280``)."""
+    from ._api import Weights, WeightsEnum
+
+    def _eval(crop, resize, interpolation="bilinear"):
+        def factory():
+            from ..train.presets import ImageClassificationEval
+
+            return ImageClassificationEval(crop, resize, interpolation=interpolation)
+
+        return factory
+
+    def _w(ckpt, num_params, acc1, acc5, crop=224, resize=256, backend="fbgemm"):
+        return Weights(url=ckpt, transforms=_eval(crop, resize),
+                       meta={"num_params": num_params, "backend": backend,
+                             "_metrics": {"ImageNet-1K": {"acc@1": acc1, "acc@5": acc5}}})
+
+    # (base name, enum name, {member: Weights})
+    spec = [
+        ("googlenet", "GoogLeNet_QuantizedWeights", {
+            "IMAGENET1K_FBGEMM_V1": _w("googlenet_fbgemm-c81f6644.ckpt", 6_624_904, 69.826, 89.404)}),
+        ("inception_v3", "Inception_V3_QuantizedWeights", {
+            "IMAGENET1K_FBGEMM_V1": _w("inception_v3_google_fbgemm-a2837893.ckpt", 27_161_264, 77.176, 93.354, crop=299, resize=342)}),
+        ("mobilenet_v2", "MobileNet_V2_QuantizedWeights", {
+            "IMAGENET1K_QNNPACK_V1": _w("mobilenet_v2_qnnpack_37f702c5.ckpt", 3_504_872, 71.658, 90.150, backend="qnnpack")}),
+        ("mobilenet_v3_large", "MobileNet_V3_Large_QuantizedWeights", {
+            "IMAGENET1K_QNNPACK_V1": _w("mobilenet_v3_large_qnnpack-5bcacf28.ckpt", 5_483_032, 73.004, 90.858, backend="qnnpack")}),
+        ("resnet18", "ResNet18_QuantizedWeights", {
+            "IMAGENET1K_FBGEMM_V1": _w("resnet18_fbgemm_16fa66dd.ckpt", 11_689_512, 69.494, 88.882)}),
+        ("resnet50", "ResNet50_QuantizedWeights", {
+            "IMAGENET1K_FBGEMM_V1": _w("resnet50_fbgemm_bf931d71.ckpt", 25_557_032, 75.920, 92.814),
+            "IMAGENET1K_FBGEMM_V2": _w("resnet50_fbgemm-23753f79.ckpt", 25_557_032, 80.282, 94.976, resize=232)}),
+        ("resnext101_32x8d", "ResNeXt101_32X8D_QuantizedWeights", {
+            "IMAGENET1K_FBGEMM_V1": _w("resnext101_32x8_fbgemm_09835ccf.ckpt", 88_791_336, 78.986, 94.480),
+            "IMAGENET1K_FBGEMM_V2": _w("resnext101_32x8_fbgemm-ee16d00c.ckpt", 88_791_336, 82.574, 96.132, resize=232)}),
+        ("resnext101_64x4d", "ResNeXt101_64X4D_QuantizedWeights", {
+            "IMAGENET1K_FBGEMM_V1": _w("resnext101_64x4d_fbgemm-605a1cb3.ckpt", 83_455_272, 82.898, 96.326, resize=232)}),
+        ("shufflenet_v2_x0_5", "ShuffleNet_V2_X0_5_QuantizedWeights", {
+            "IMAGENET1K_FBGEMM_V1": _w("shufflenetv2_x0.5_fbgemm-00845098.ckpt", 1_366_792, 57.972, 79.780)}),
+        ("shufflenet_v2_x1_0", "ShuffleNet_V2_X1_0_QuantizedWeights", {
+            "IMAGENET1K_FBGEMM_V1": _w("shufflenetv2_x1_fbgemm-1e62bb32.ckpt", 2_278_604, 68.360, 87.582)}),
+        ("shufflenet_v2_x1_5", "ShuffleNet_V2_X1_5_QuantizedWeights", {
+            "IMAGENET1K_FBGEMM_V1": _w("shufflenetv2_x1_5_fbgemm-d7401f05.ckpt", 3_503_624, 72.052, 90.700)}),
+        ("shufflenet_v2_x2_0", "ShuffleNet_V2_X2_0_QuantizedWeights", {
+            "IMAGENET1K_FBGEMM_V1": _w("shufflenetv2_x2_0_fbgemm-5cac526c.ckpt", 7_393_996, 75.354, 92.488)}),
+    ]
+    out = {}
+    for base, enum_name, members in spec:
+        members = dict(members)
+        members["DEFAULT"] = next(iter(members.values()))
+        out[base] = type(enum_name, (WeightsEnum,), members)
+    return out
+
+
 def _register_quantized_builders():
     """Register the reference's 12 ``quantized_*`` names (reference
     ``models/quantization/{googlenet,inception,mobilenetv2,mobilenetv3,
-    resnet,shufflenetv2}.py``)."""
+    resnet,shufflenetv2}.py``), each carrying its ``*_QuantizedWeights``
+    enum so ``get_model_weights("quantized_resnet18")`` resolves."""
     from ._api import get_model_builder, register_model
 
+    enums = _make_quantized_weight_enums()
     for base in ("googlenet", "inception_v3", "mobilenet_v2",
                  "mobilenet_v3_large", "resnet18", "resnet50",
                  "resnext101_32x8d", "resnext101_64x4d",
@@ -371,7 +429,9 @@ def _register_quantized_builders():
             builder.__name__ = f"quantized_{base}"
             return builder
 
-        register_model(f"quantized_{base}")(make())
+        fn = make()
+        fn.weights_enum = enums[base]
+        register_model(f"quantized_{base}")(fn)
 
 
 _register_quantized_builders()

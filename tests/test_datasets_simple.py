@@ -273,3 +273,32 @@ class TestSyntheticTaskVariants:
         assert 0 <= int(tgt["labels"][0]) < 6
         # box really bounds the glyph: it must be tight against the mask
         assert (x2 - x1) * (y2 - y1) >= 16
+
+
+class TestQuantizedWeightEnums:
+    def test_all_12_builders_have_enums(self):
+        """Reference models/quantization/*.py ship *_QuantizedWeights for all
+        12 quantized builders; get_model_weights must resolve each."""
+        from cpu_vision_tpu import models
+
+        expected = {
+            "quantized_googlenet": ("GoogLeNet_QuantizedWeights", 69.826),
+            "quantized_inception_v3": ("Inception_V3_QuantizedWeights", 77.176),
+            "quantized_mobilenet_v2": ("MobileNet_V2_QuantizedWeights", 71.658),
+            "quantized_mobilenet_v3_large": ("MobileNet_V3_Large_QuantizedWeights", 73.004),
+            "quantized_resnet18": ("ResNet18_QuantizedWeights", 69.494),
+            "quantized_resnet50": ("ResNet50_QuantizedWeights", 75.920),
+            "quantized_resnext101_32x8d": ("ResNeXt101_32X8D_QuantizedWeights", 78.986),
+            "quantized_resnext101_64x4d": ("ResNeXt101_64X4D_QuantizedWeights", 82.898),
+            "quantized_shufflenet_v2_x0_5": ("ShuffleNet_V2_X0_5_QuantizedWeights", 57.972),
+            "quantized_shufflenet_v2_x1_0": ("ShuffleNet_V2_X1_0_QuantizedWeights", 68.360),
+            "quantized_shufflenet_v2_x1_5": ("ShuffleNet_V2_X1_5_QuantizedWeights", 72.052),
+            "quantized_shufflenet_v2_x2_0": ("ShuffleNet_V2_X2_0_QuantizedWeights", 75.354),
+        }
+        for name, (enum_name, acc1) in expected.items():
+            enum = models.get_model_weights(name)
+            assert enum is not None and enum.__name__ == enum_name
+            assert enum.DEFAULT.meta["_metrics"]["ImageNet-1K"]["acc@1"] == acc1
+        # get_weight resolves the dotted string form
+        w = models.get_weight("ResNet50_QuantizedWeights.IMAGENET1K_FBGEMM_V2")
+        assert w.meta["_metrics"]["ImageNet-1K"]["acc@1"] == 80.282
