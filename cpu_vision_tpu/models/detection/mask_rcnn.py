@@ -19,7 +19,7 @@ from ...ops.poolers import multiscale_roi_align
 from ...ops.roi import roi_align
 from .._api import register_model
 from .faster_rcnn import FasterRCNN
-from .roi_heads import _log2i
+from .roi_heads import _log2i, paste_masks_in_image
 
 __all__ = ["MaskRCNN", "MaskRCNNHeads", "maskrcnn_resnet50_fpn",
            "maskrcnn_resnet50_fpn_v2"]
@@ -74,9 +74,16 @@ class MaskRCNN(FasterRCNN):
         s = 2 * self.mask_pooled_size
         return logits.reshape(n, d, s, s, self.num_classes)
 
-    def __call__(self, images, train: bool = False):
+    def __call__(self, images, train: bool = False, paste_masks: bool = False):
         """Inference: detections dict + per-detection mask probabilities
-        for the predicted class."""
+        for the predicted class.
+
+        ``paste_masks=True`` additionally returns full-image masks
+        ``(N, D, H, W)`` via :func:`paste_masks_in_image` — the reference's
+        output contract (``transform.postprocess`` pastes every mask,
+        ``transform.py:263-270``).  Off by default because D full-resolution
+        canvases per image is a large HBM allocation.
+        """
         image_size = (images.shape[1], images.shape[2])
         features = self.backbone(images, train=train)
         proposals, _, _ = self.rpn(features, image_size)
@@ -89,6 +96,12 @@ class MaskRCNN(FasterRCNN):
             mask_logits, labels[:, :, None, None, None], axis=-1
         )[..., 0]
         dets["masks"] = jax.nn.sigmoid(sel)  # (N, D, 28, 28)
+        if paste_masks:
+            valid = dets["valid"][..., None, None]
+            pasted = jax.vmap(
+                lambda m, b: paste_masks_in_image(m, b, image_size)
+            )(dets["masks"], dets["boxes"])
+            dets["masks_full"] = pasted * valid  # (N, D, H, W)
         return dets
 
     def mask_loss(

@@ -136,3 +136,18 @@ class TestPasteMasks:
         out = f(masks, boxes)
         assert out.shape == (2, 3, 32, 32)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_maskrcnn_paste_masks_full(self, rng):
+        """paste_masks=True returns full-image masks zeroed on padded rows
+        (the reference transform.postprocess contract, transform.py:263)."""
+        m = det.MaskRCNN(num_classes=4, rpn_pre_nms_top_n=50,
+                         rpn_post_nms_top_n=16, max_detections=4)
+        x = jnp.asarray(rng.random((1, 128, 128, 3), dtype=np.float32))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        dets = m.apply(v, x, train=False, paste_masks=True)
+        assert dets["masks"].shape == (1, 4, 28, 28)
+        assert dets["masks_full"].shape == (1, 4, 128, 128)
+        full = np.asarray(dets["masks_full"])
+        assert np.isfinite(full).all() and full.min() >= 0 and full.max() <= 1
+        invalid = ~np.asarray(dets["valid"])
+        assert full[invalid].max(initial=0.0) == 0.0
