@@ -22,22 +22,19 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(os.path.join(REFERENCE, "torchvision")),
     reason="reference torchvision source not mounted")
 
-_KEEP = []  # keep torch.library registrations alive for the session
+_KEEP = []  # keep torch.library IMPL registrations alive for the session
 
 
 @pytest.fixture(scope="module")
 def tvd():
     import torch
 
-    added = REFERENCE not in sys.path
-    if added:
-        sys.path.append(REFERENCE)
-    try:
-        lib = torch.library.Library("torchvision", "DEF")
-        lib.define("nms(Tensor dets, Tensor scores, float iou_threshold) -> Tensor")
-        _KEEP.append(lib)
-    except Exception:
-        pass
+    # the DEF ("schema") registration is a process-wide singleton shared
+    # with test_reference_logits (torch allows one per namespace)
+    from _reference_stub import reference_path_added, stub_torchvision_schemas
+
+    stub_torchvision_schemas()
+    added = reference_path_added()
 
     def py_nms(dets, scores, iou):
         order = scores.argsort(descending=True)
@@ -67,14 +64,14 @@ def tvd():
     import torchvision.ops.boxes as tob
 
     tob._assert_has_ops = lambda: None
-    from torchvision.models import detection as _tvd
+    from _reference_stub import cleanup_reference_path
 
-    yield _tvd
-    if added:
-        sys.path.remove(REFERENCE)
-    for mod in [m for m in sys.modules
-                if m == "references" or m.startswith("references.")]:
-        del sys.modules[mod]
+    try:
+        from torchvision.models import detection as _tvd
+
+        yield _tvd
+    finally:
+        cleanup_reference_path(added)
 
 
 def _identity_transform_kwargs(size):

@@ -21,35 +21,25 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def tvm():
-    import sys
+    # shared process-wide schema stub (only one DEF registration per
+    # namespace is allowed; test_detection_parity shares it)
+    from _reference_stub import (
+        cleanup_reference_path,
+        reference_path_added,
+        stub_torchvision_schemas,
+    )
 
-    import torch
-
+    stub_torchvision_schemas()
     # APPEND (not prepend): /root/reference also contains a `references/`
     # tree that would otherwise shadow this repo's namespace package of the
     # same name for any test that runs later in the session
-    added = REFERENCE not in sys.path
-    if added:
-        sys.path.append(REFERENCE)
-    lib = torch.library.Library("torchvision", "DEF")
-    for s in [
-        "nms(Tensor dets, Tensor scores, float iou_threshold) -> Tensor",
-        "roi_align(Tensor input, Tensor rois, float spatial_scale, int pooled_height, int pooled_width, int sampling_ratio, bool aligned) -> Tensor",
-    ]:
-        try:
-            lib.define(s)
-        except Exception:
-            pass
-    from torchvision import models as _tvm
+    added = reference_path_added()
+    try:
+        from torchvision import models as _tvm
 
-    yield _tvm
-    del lib
-    if added:
-        sys.path.remove(REFERENCE)
-    # drop the merged namespace-package entry so later imports of this
-    # repo's `references/` re-resolve cleanly
-    for mod in [m for m in sys.modules if m == "references" or m.startswith("references.")]:
-        del sys.modules[mod]
+        yield _tvm
+    finally:
+        cleanup_reference_path(added)
 
 
 class TestGoogLeNetLogits:
