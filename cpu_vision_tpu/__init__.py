@@ -59,7 +59,13 @@ def set_video_backend(backend: str) -> None:
     global _video_backend
     if backend not in ("mjpeg", "pyav", "video_reader", "cuda"):
         raise ValueError("Invalid video backend '%s'. Options are 'mjpeg', 'pyav', 'video_reader' and 'cuda'" % backend)
-    if backend != "mjpeg":
+    if backend == "pyav":
+        try:
+            import av  # noqa: F401  (optional compressed-video decoder)
+        except ImportError:
+            raise RuntimeError("video backend 'pyav' requires the av package, "
+                               "not available on this build")
+    elif backend != "mjpeg":
         raise RuntimeError(f"video backend {backend!r} requires ffmpeg/NVDEC, not available on this build")
     _video_backend = backend
 

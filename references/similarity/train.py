@@ -224,8 +224,14 @@ def main(argv=None):
             emb = np.concatenate([
                 np.asarray(net.apply(vs, jnp.asarray(val_images[lo:lo + p_ * k])))
                 for lo in range(0, len(val_images) - p_ * k + 1, p_ * k)])
-            acc = evaluate_pair_accuracy(emb, val_groups[: emb.shape[0]])
-            print(f"eval held-out pair-accuracy (best threshold): {acc:.3f}", flush=True)
+            g = val_groups[: emb.shape[0]]
+            acc = evaluate_pair_accuracy(emb, g)
+            # recall@1: nearest-neighbour label match (leave-one-out)
+            d = np.asarray(pairwise_distances(jnp.asarray(emb)))
+            np.fill_diagonal(d, np.inf)
+            r1 = float((g[d.argmin(1)] == g).mean())
+            print(f"eval held-out pair-accuracy (best threshold): {acc:.3f} "
+                  f"recall@1: {r1:.3f}", flush=True)
         else:
             emb = net.apply(vs, jnp.asarray(images[: 4 * k]))
             acc = evaluate_pair_accuracy(emb, np.asarray(groups[: 4 * k]))

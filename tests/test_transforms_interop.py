@@ -141,3 +141,13 @@ class TestPackageSurface:
         with pytest.raises(ValueError):
             tv.set_return_type("bogus")
         tv.set_return_type("Tensor")
+
+
+def test_tv_tensors_alias_module():
+    """`from cpu_vision_tpu import tv_tensors` mirrors the reference import
+    path (reference tv_tensors/__init__.py)."""
+    from cpu_vision_tpu import tv_arrays, tv_tensors
+
+    for name in ("Image", "Video", "Mask", "BoundingBoxes", "wrap",
+                 "BoundingBoxFormat", "TVTensor", "set_return_type"):
+        assert getattr(tv_tensors, name) is getattr(tv_arrays, name)
