@@ -227,7 +227,7 @@ def main(argv=None):
             g = val_groups[: emb.shape[0]]
             acc = evaluate_pair_accuracy(emb, g)
             # recall@1: nearest-neighbour label match (leave-one-out)
-            d = np.asarray(pairwise_distances(jnp.asarray(emb)))
+            d = np.array(pairwise_distances(jnp.asarray(emb)))  # writable copy
             np.fill_diagonal(d, np.inf)
             r1 = float((g[d.argmin(1)] == g).mean())
             print(f"eval held-out pair-accuracy (best threshold): {acc:.3f} "
