@@ -167,6 +167,13 @@ def main():
     rows.append(emit("vit_b16_infer_b256_bf16", vit_ips, "img/s"))
     # ViT-B/16 fwd ~17.6 GFLOP/img at 224x224
     rows.append(emit("vit_b16_infer_mfu_pct", vit_ips * 17.6e9 / 197e12 * 100, "%"))
+    # int8 on the transformer: only the Dense layers quantise (attention
+    # softmax/layernorm stay bf16) so the win is smaller than R50's
+    # (+5.6% measured vs +20%)
+    vscales = calibrate_activations(vit, vvars, [x[:32]], train=False)
+    fv8 = jax.jit(lambda v, t: apply_int8(vit, v, t, act_scales=vscales, train=False))
+    dtv8 = bench(fv8, vvars, x, iters=10)
+    rows.append(emit("vit_b16_infer_b256_int8", 256 / dtv8, "img/s"))
 
     # 6d. detection end-to-end (fixed-shape redesign): FasterRCNN-R50-FPN
     # inference at 640x640 b8 — backbone + RPN + RoI heads + NMS, all one
