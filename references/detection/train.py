@@ -24,6 +24,8 @@ from cpu_vision_tpu.models import detection as det
 
 def get_args(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--model", default="retinanet_resnet50_fpn",
+                   help="retinanet_* (one-stage) or fasterrcnn_* (two-stage)")
     p.add_argument("--num-classes", type=int, default=5)
     p.add_argument("--image-size", type=int, default=128)
     p.add_argument("--batch-size", type=int, default=2)
@@ -62,13 +64,26 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     s = args.image_size
 
-    model = det.RetinaNet(
-        num_classes=args.num_classes,
-        anchor_sizes=((16,), (32,), (64,), (128,), (256,)),
-        aspect_ratios=((0.5, 1.0, 2.0),) * 5,
-        topk_candidates=300,
-        max_detections=20,
-    )
+    # two loss plumbing families (reference train.py accepts any --model and
+    # engine.py sums the returned loss dict; same here):
+    #  - one-stage (retinanet): (cls, reg, anchors) forward + compute_loss
+    #  - two-stage (fasterrcnn): forward_train returns the 4-loss dict, and
+    #    gt labels are 1-based with background=0
+    two_stage = args.model.startswith(("fasterrcnn", "maskrcnn"))
+    if two_stage:
+        model = det.FasterRCNN(
+            num_classes=args.num_classes + 1,  # + background
+            rpn_pre_nms_top_n=500, rpn_post_nms_top_n=128,
+            max_detections=20,
+        )
+    else:
+        model = det.RetinaNet(
+            num_classes=args.num_classes,
+            anchor_sizes=((16,), (32,), (64,), (128,), (256,)),
+            aspect_ratios=((0.5, 1.0, 2.0),) * 5,
+            topk_candidates=300,
+            max_detections=20,
+        )
     sample = jnp.ones((1, s, s, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(args.seed), sample, train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
@@ -89,17 +104,24 @@ def main(argv=None):
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, batch_stats, opt_state, images, gt_boxes, gt_labels, gt_valid):
+    def train_step(params, batch_stats, opt_state, images, gt_boxes, gt_labels, gt_valid, key):
         def loss_fn(p):
             v = {"params": p, "batch_stats": batch_stats}
-            (cls, reg, anchors), mut = model.apply(
-                v, images, train=True, mutable=["batch_stats"]
-            )
-            losses = model.apply(
-                v, cls, reg, anchors, gt_boxes, gt_labels, gt_valid,
-                method=model.compute_loss,
-            )
-            return losses["classification"] + losses["bbox_regression"], (losses, mut["batch_stats"])
+            if two_stage:
+                losses, mut = model.apply(
+                    v, images, gt_boxes, gt_labels + 1, gt_valid, key,
+                    method=model.forward_train, mutable=["batch_stats"],
+                )
+            else:
+                (cls, reg, anchors), mut = model.apply(
+                    v, images, train=True, mutable=["batch_stats"]
+                )
+                losses = model.apply(
+                    v, cls, reg, anchors, gt_boxes, gt_labels, gt_valid,
+                    method=model.compute_loss,
+                )
+            total = sum(losses.values())
+            return total, (losses, mut["batch_stats"])
 
         (loss, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -151,13 +173,12 @@ def main(argv=None):
                     rng, args.batch_size, args.max_boxes, args.num_classes, s
                 )
             params, batch_stats, opt_state, losses = train_step(
-                params, batch_stats, opt_state, x, gt_boxes, gt_labels, gt_valid
+                params, batch_stats, opt_state, x, gt_boxes, gt_labels, gt_valid,
+                jax.random.PRNGKey(epoch * args.steps_per_epoch + step),
             )
             if step % 5 == 0:
-                print(
-                    f"epoch {epoch} step {step}: cls {float(losses['classification']):.4f} "
-                    f"reg {float(losses['bbox_regression']):.4f}", flush=True
-                )
+                msg = " ".join(f"{k} {float(v):.4f}" for k, v in sorted(losses.items()))
+                print(f"epoch {epoch} step {step}: {msg}", flush=True)
         # inference + COCO mAP (held-out set when --synthetic, else a fake
         # batch; reference evaluates with coco_eval each epoch,
         # references/detection/train.py:62-102)
@@ -166,16 +187,21 @@ def main(argv=None):
 
         def eval_batch(x, gt_boxes, gt_labels, gt_valid):
             nonlocal n_det
-            cls, reg, anchors = model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False)
-            dets = model.postprocess(cls, reg, anchors, (s, s))
+            v = {"params": params, "batch_stats": batch_stats}
+            if two_stage:
+                dets = model.apply(v, x, train=False)
+                det_labels = np.asarray(dets["labels"]) - 1  # drop background offset
+            else:
+                cls, reg, anchors = model.apply(v, x, train=False)
+                dets = model.postprocess(cls, reg, anchors, (s, s))
+                det_labels = np.asarray(dets["labels"])
             n_det += int(dets["valid"].sum())
             for i in range(x.shape[0]):
                 keep = np.asarray(dets["valid"][i])
                 gk = np.asarray(gt_valid[i])
                 ev.update(np.asarray(dets["boxes"][i])[keep],
                           np.asarray(dets["scores"][i])[keep],
-                          np.asarray(dets["labels"][i])[keep],
+                          det_labels[i][keep],
                           np.asarray(gt_boxes[i])[gk], np.asarray(gt_labels[i])[gk])
 
         if val_ds is not None:
