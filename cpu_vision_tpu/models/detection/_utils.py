@@ -27,14 +27,25 @@ class BoxCoder:
         self.bbox_xform_clip = bbox_xform_clip
 
     def encode(self, reference_boxes: jax.Array, proposals: jax.Array) -> jax.Array:
-        """deltas such that decode(deltas, proposals) == reference_boxes."""
+        """deltas such that decode(deltas, proposals) == reference_boxes.
+
+        Departure from the reference's exact math (``detection/_utils.py:158``):
+        widths/heights are clamped to a tiny epsilon. The reference only ever
+        encodes gathered *positive* pairs (dynamic shapes), which cannot be
+        degenerate; this fixed-shape design also encodes padded/unmatched rows
+        whose loss is masked out later — but an inf/NaN produced here would
+        poison gradients straight through the mask (0 * inf = NaN), so the
+        garbage rows must stay finite. Real positives (IoU >= 0.5) always have
+        w, h >> eps, where the clamp is the identity.
+        """
         wx, wy, ww, wh = self.weights
-        ex_w = proposals[..., 2] - proposals[..., 0]
-        ex_h = proposals[..., 3] - proposals[..., 1]
+        eps = 1e-6
+        ex_w = jnp.maximum(proposals[..., 2] - proposals[..., 0], eps)
+        ex_h = jnp.maximum(proposals[..., 3] - proposals[..., 1], eps)
         ex_cx = proposals[..., 0] + 0.5 * ex_w
         ex_cy = proposals[..., 1] + 0.5 * ex_h
-        gt_w = reference_boxes[..., 2] - reference_boxes[..., 0]
-        gt_h = reference_boxes[..., 3] - reference_boxes[..., 1]
+        gt_w = jnp.maximum(reference_boxes[..., 2] - reference_boxes[..., 0], eps)
+        gt_h = jnp.maximum(reference_boxes[..., 3] - reference_boxes[..., 1], eps)
         gt_cx = reference_boxes[..., 0] + 0.5 * gt_w
         gt_cy = reference_boxes[..., 1] + 0.5 * gt_h
         dx = wx * (gt_cx - ex_cx) / ex_w
