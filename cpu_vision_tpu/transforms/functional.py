@@ -330,9 +330,12 @@ def _affine_image(img, angle=0.0, translate=(0, 0), scale=1.0, shear=(0.0, 0.0),
 
 
 def _affine_bboxes(b: BoundingBoxes, angle=0.0, translate=(0, 0), scale=1.0,
-                   shear=(0.0, 0.0), interpolation="bilinear", fill=None, center=None):
-    """Forward-transform the 4 corners, take the enclosing box (reference
-    ``_affine_bounding_boxes_with_expand``, ``v2/functional/_geometry.py:850``)."""
+                   shear=(0.0, 0.0), interpolation="bilinear", fill=None, center=None,
+                   _clamp=True):
+    """Forward-transform the 4 corners, take the enclosing box, clamp to the
+    canvas (reference ``_affine_bounding_boxes_with_expand``,
+    ``v2/functional/_geometry.py:850`` — clamps at ``:841``).  ``_clamp=False``
+    is for rotate-expand, which must clamp to the *expanded* canvas."""
     h, w = b.canvas_size
     ctr = (w * 0.5, h * 0.5) if center is None else tuple(center)
     fwd = ops.get_inverse_affine_matrix(ctr, angle, tuple(translate), scale, tuple(shear))
@@ -350,7 +353,8 @@ def _affine_bboxes(b: BoundingBoxes, angle=0.0, translate=(0, 0), scale=1.0,
     nx = fa * cx + fb * cy + fc
     ny = fd * cx + fe * cy + ff
     out = jnp.stack([nx.min(-1), ny.min(-1), nx.max(-1), ny.max(-1)], -1)
-    return _from_xyxy(out, b)
+    res = _from_xyxy(out, b)
+    return clamp_bounding_boxes(res) if _clamp else res
 
 
 def _affine_mask(m: Mask, angle=0.0, translate=(0, 0), scale=1.0, shear=(0.0, 0.0),
@@ -369,7 +373,7 @@ def _rotate_image(img, angle, interpolation="nearest", expand=False, center=None
 def _rotate_bboxes(b: BoundingBoxes, angle, interpolation="nearest", expand=False,
                    center=None, fill=None):
     h, w = b.canvas_size
-    out = _affine_bboxes(b, angle=-angle, center=center)
+    out = _affine_bboxes(b, angle=-angle, center=center, _clamp=not expand)
     if expand:
         ctr = (0.0, 0.0) if center is None else (center[0] - w * 0.5, center[1] - h * 0.5)
         matrix = ops.get_inverse_affine_matrix(ctr, -angle, (0.0, 0.0), 1.0, (0.0, 0.0))
@@ -380,6 +384,7 @@ def _rotate_bboxes(b: BoundingBoxes, angle, interpolation="nearest", expand=Fals
             out.format,
             (oh, ow),
         )
+        out = clamp_bounding_boxes(out)  # clamp to the EXPANDED canvas
     return out
 
 
@@ -410,7 +415,8 @@ def _perspective_bboxes(b: BoundingBoxes, coeffs, interpolation="bilinear", fill
     nx = (inv[0, 0] * cx + inv[0, 1] * cy + inv[0, 2]) / denom
     ny = (inv[1, 0] * cx + inv[1, 1] * cy + inv[1, 2]) / denom
     out = jnp.stack([nx.min(-1), ny.min(-1), nx.max(-1), ny.max(-1)], -1)
-    return _from_xyxy(out, b)
+    # reference clamps perspective boxes to the canvas (_geometry.py:1661)
+    return clamp_bounding_boxes(_from_xyxy(out, b))
 
 
 def _perspective_mask(m: Mask, coeffs, interpolation="nearest", fill=None):

@@ -217,3 +217,68 @@ class TestUint8Protocol:
             np.random.default_rng(0).integers(0, 256, (H, W, 3)).astype(np.uint8)))
         out = fn(img, **kwargs)
         assert out.data.dtype == jnp.uint8
+
+
+class TestBoxAnalytic:
+    """Closed-form expectations for the geometric bounding-box kernels
+    (reference asserts these against its `reference_affine_bounding_boxes`
+    helpers, test_transforms_v2.py:566-700)."""
+
+    def test_hflip_boxes(self):
+        b = make_boxes()
+        out = F.horizontal_flip(b)
+        got = np.asarray(out.data)
+        src = np.asarray(b.data)
+        want = np.stack([W - src[:, 2], src[:, 1], W - src[:, 0], src[:, 3]], 1)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        assert out.canvas_size == (H, W)
+
+    def test_vflip_boxes(self):
+        b = make_boxes()
+        got = np.asarray(F.vertical_flip(b).data)
+        src = np.asarray(b.data)
+        want = np.stack([src[:, 0], H - src[:, 3], src[:, 2], H - src[:, 1]], 1)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_resize_boxes_scale(self):
+        b = make_boxes()
+        out = F.resize(b, size=(H * 2, W * 3))
+        np.testing.assert_allclose(
+            np.asarray(out.data),
+            np.asarray(b.data) * np.array([3.0, 2.0, 3.0, 2.0]), atol=1e-4)
+        assert out.canvas_size == (H * 2, W * 3)
+
+    def test_pad_boxes_translate(self):
+        b = make_boxes()
+        out = F.pad(b, padding=(2, 3))  # (left/right=2, top/bottom=3) torch order
+        got = np.asarray(out.data)
+        src = np.asarray(b.data)
+        np.testing.assert_allclose(got, src + np.array([2.0, 3.0, 2.0, 3.0]), atol=1e-5)
+
+    def test_crop_boxes_translate_and_canvas(self):
+        b = make_boxes()
+        out = F.crop(b, top=2, left=3, height=10, width=12)
+        got = np.asarray(out.data)
+        src = np.asarray(b.data)
+        want = src - np.array([3.0, 2.0, 3.0, 2.0])
+        want[:, [0, 2]] = want[:, [0, 2]].clip(0, 12)
+        want[:, [1, 3]] = want[:, [1, 3]].clip(0, 10)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        assert out.canvas_size == (10, 12)
+
+    def test_rotate180_boxes(self):
+        b = make_boxes()
+        got = np.asarray(F.rotate(b, angle=180.0).data)
+        src = np.asarray(b.data)
+        want = np.stack([W - src[:, 2], H - src[:, 3], W - src[:, 0], H - src[:, 1]], 1)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_affine_translate_boxes(self):
+        b = make_boxes()
+        got = np.asarray(F.affine(b, angle=0.0, translate=(4, -2), scale=1.0,
+                                  shear=(0.0, 0.0)).data)
+        src = np.asarray(b.data)
+        want = src + np.array([4.0, -2.0, 4.0, -2.0])
+        want[:, [0, 2]] = want[:, [0, 2]].clip(0, W)
+        want[:, [1, 3]] = want[:, [1, 3]].clip(0, H)
+        np.testing.assert_allclose(got, want, atol=1e-3)
