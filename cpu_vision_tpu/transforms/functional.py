@@ -329,6 +329,19 @@ def _affine_image(img, angle=0.0, translate=(0, 0), scale=1.0, shear=(0.0, 0.0),
     return ops.affine(img, matrix, interpolation, fill)
 
 
+def _forward_affine_coeffs(ctr, angle, translate, scale, shear):
+    """Forward affine map coefficients (invert the reference's inverse
+    2x3 matrix)."""
+    a, bb, c0, d, e, f0 = ops.get_inverse_affine_matrix(
+        tuple(ctr), angle, tuple(translate), scale, tuple(shear))
+    det = a * e - bb * d
+    fa, fb = e / det, -bb / det
+    fd, fe = -d / det, a / det
+    fc = -(fa * c0 + fb * f0)
+    ff = -(fd * c0 + fe * f0)
+    return fa, fb, fc, fd, fe, ff
+
+
 def _affine_bboxes(b: BoundingBoxes, angle=0.0, translate=(0, 0), scale=1.0,
                    shear=(0.0, 0.0), interpolation="bilinear", fill=None, center=None,
                    _clamp=True):
@@ -338,14 +351,7 @@ def _affine_bboxes(b: BoundingBoxes, angle=0.0, translate=(0, 0), scale=1.0,
     is for rotate-expand, which must clamp to the *expanded* canvas."""
     h, w = b.canvas_size
     ctr = (w * 0.5, h * 0.5) if center is None else tuple(center)
-    fwd = ops.get_inverse_affine_matrix(ctr, angle, tuple(translate), scale, tuple(shear))
-    # invert the inverse 2x3 to get the forward map
-    a, bb, c0, d, e, f0 = fwd
-    det = a * e - bb * d
-    fa, fb = e / det, -bb / det
-    fd, fe = -d / det, a / det
-    fc = -(fa * c0 + fb * f0)
-    ff = -(fd * c0 + fe * f0)
+    fa, fb, fc, fd, fe, ff = _forward_affine_coeffs(ctr, angle, translate, scale, shear)
     xy = _xyxy(b)
     x1, y1, x2, y2 = jnp.moveaxis(xy, -1, 0)
     cx = jnp.stack([x1, x2, x1, x2], -1)
@@ -375,12 +381,24 @@ def _rotate_bboxes(b: BoundingBoxes, angle, interpolation="nearest", expand=Fals
     h, w = b.canvas_size
     out = _affine_bboxes(b, angle=-angle, center=center, _clamp=not expand)
     if expand:
-        ctr = (0.0, 0.0) if center is None else (center[0] - w * 0.5, center[1] - h * 0.5)
+        # Mirror the reference's BBOX expand math exactly
+        # (_affine_bounding_boxes_with_expand, _geometry.py:819-840): shift by
+        # -min of the forward-transformed canvas corners, canvas size from the
+        # ABSOLUTE-center inverse matrix. NB: the reference's bbox canvas can
+        # differ from its own image canvas by 1px (f32 ceil/floor under
+        # different matrix translation terms) — we reproduce the bbox path.
+        ctr = (w * 0.5, h * 0.5) if center is None else tuple(center)
+        fa, fb, fc, fd, fe, ff = _forward_affine_coeffs(ctr, -angle, (0.0, 0.0), 1.0, (0.0, 0.0))
+        import numpy as _np
+
+        corners = _np.array([[0.0, 0.0], [0.0, h], [w, h], [w, 0.0]], _np.float32)
+        tx = float((fa * corners[:, 0] + fb * corners[:, 1] + fc).min())
+        ty = float((fd * corners[:, 0] + fe * corners[:, 1] + ff).min())
         matrix = ops.get_inverse_affine_matrix(ctr, -angle, (0.0, 0.0), 1.0, (0.0, 0.0))
         ow, oh = ops.warp._compute_affine_output_size(matrix, w, h)
-        shift = jnp.asarray([(ow - w) * 0.5, (oh - h) * 0.5] * 2, jnp.float32)
+        shift = jnp.asarray([tx, ty] * 2, jnp.float32)
         out = BoundingBoxes(
-            ops.box_convert(ops.box_convert(out.data, out.format, "xyxy") + shift, "xyxy", out.format),
+            ops.box_convert(ops.box_convert(out.data, out.format, "xyxy") - shift, "xyxy", out.format),
             out.format,
             (oh, ow),
         )
