@@ -322,7 +322,8 @@ def _affine_matrix(angle, translate, scale, shear, center):
 
 
 def _affine_image(img, angle=0.0, translate=(0, 0), scale=1.0, shear=(0.0, 0.0),
-                  interpolation="bilinear", fill=None, center=None):
+                  interpolation="nearest", fill=None, center=None):
+    # default NEAREST like the reference (v2/functional/_geometry.py:384)
     h, w = (img.shape[-3], img.shape[-2]) if img.ndim >= 3 else img.shape
     ctr = (0.0, 0.0) if center is None else (center[0] - w * 0.5, center[1] - h * 0.5)
     matrix = _affine_matrix(angle, translate, scale, shear, ctr)
