@@ -28,11 +28,23 @@ class DefaultBoxGenerator:
     def __init__(
         self,
         aspect_ratios: Sequence[Sequence[int]] = ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,)),
-        scales: Sequence[float] = (0.07, 0.15, 0.33, 0.51, 0.69, 0.87, 1.05),
-        steps: Sequence[int] | None = (8, 16, 32, 64, 100, 300),
+        scales: Sequence[float] | None = None,
+        steps: Sequence[int] | None = None,
+        min_ratio: float = 0.15,
+        max_ratio: float = 0.9,
     ):
         self.aspect_ratios = aspect_ratios
-        self.scales = scales
+        if scales is None:
+            # the reference's scale interpolation (anchor_utils.py:172-178);
+            # the ssd300 builder overrides with the paper scales explicitly
+            m = len(aspect_ratios)
+            if m > 1:
+                self.scales = [min_ratio + (max_ratio - min_ratio) * k / (m - 1.0)
+                               for k in range(m)] + [1.0]
+            else:
+                self.scales = [min_ratio, max_ratio]
+        else:
+            self.scales = list(scales)
         self.steps = steps
 
     def num_anchors_per_location(self) -> List[int]:
@@ -112,7 +124,12 @@ class SSD(nn.Module):
             x = nn.relu(conv(c_out, 3, s, p)(x))
             feats.append(x)
 
-        gen = DefaultBoxGenerator()
+        # the ssd300 paper scales, passed explicitly like the reference
+        # builder (ssd.py:665-668)
+        gen = DefaultBoxGenerator(
+            scales=(0.07, 0.15, 0.33, 0.51, 0.69, 0.87, 1.05),
+            steps=(8, 16, 32, 64, 100, 300),
+        )
         num_anchors = gen.num_anchors_per_location()
         cls_out, reg_out = [], []
         for i, (f, a) in enumerate(zip(feats, num_anchors)):
