@@ -1,24 +1,38 @@
 """Headline benchmark — prints ONE JSON line.
 
 Run on real TPU by the driver.  Headline metric: fused Canny throughput on
-1080p frames (north-star target: 2 GPix/s per v5e chip).  Falls back to the
-gaussian+sobel pipeline while the fused Canny Pallas kernel is being built.
+1080p frames (north-star target: 2 GPix/s per v5e chip).
+
+Resilience (round-2 postmortem, VERDICT.md): the axon TPU relay can fail or
+hang on backend init, and a single rc!=0 or timeout loses the round's perf
+record.  So the PARENT process never imports jax at all — it launches the
+actual benchmark as a ``--child`` subprocess under a timeout, retries once
+with a smaller workload on any failure, and on a hard double failure still
+prints a parseable JSON line carrying an ``"error"`` field, exiting 0.
 """
 
 import json
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+TARGET_GPIX_S = 2.0  # BASELINE.md: fused Canny >= 2 GPix/s per chip on 1080p
 
-TARGET_GPIX_S = 2.0  # BASELINE.md: fused Canny ≥ 2 GPix/s per chip on 1080p
+# Budget: full run well under typical driver timeouts even with a cold
+# remote-compile (~40 s) plus a hung-then-recovered relay.
+_CHILD_TIMEOUT_S = 300
+_RETRY_TIMEOUT_S = 200
 
+
+# ---------------------------------------------------------------- child ----
 
 def _sync(out):
     """Force execution.  On the axon-relayed TPU, ``block_until_ready`` does
     not actually synchronise — a small readback does (and orders all prior
     work on the stream)."""
+    import jax
+    import jax.numpy as jnp
+
     leaf = jax.tree.leaves(out)[0]
     return float(jnp.sum(leaf.ravel()[:8]))
 
@@ -34,9 +48,11 @@ def _time_fn(fn, *args, iters=50, warmup=5):
     return (time.perf_counter() - t0) / iters
 
 
-def _scene(h: int, w: int, batch: int) -> np.ndarray:
+def _scene(h: int, w: int, batch: int):
     """Synthetic 1080p scene with realistic edge density: blocks, a disc,
     a smooth gradient, mild noise."""
+    import numpy as np
+
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     img = 0.3 + 0.2 * (xx / w)
@@ -48,14 +64,17 @@ def _scene(h: int, w: int, batch: int) -> np.ndarray:
     return np.broadcast_to(img, (batch, h, w)).reshape(batch, h, w, 1).copy()
 
 
-def main():
+def _child(iters: int, batch: int) -> None:
+    import jax
+    import jax.numpy as jnp
+
     from cpu_vision_tpu import ops
 
-    h, w, batch = 1080, 1920, 8
+    h, w = 1080, 1920
     imgs = jnp.asarray(_scene(h, w, batch))
 
     fn = jax.jit(lambda x: ops.canny(x, low_threshold=0.1, high_threshold=0.2))
-    dt = _time_fn(fn, imgs)
+    dt = _time_fn(fn, imgs, iters=iters)
     gpix_s = batch * h * w / dt / 1e9
     print(json.dumps({
         "metric": "canny_1080p_gpix_s",
@@ -65,5 +84,65 @@ def main():
     }))
 
 
+# --------------------------------------------------------------- parent ----
+
+def _parse_json_line(text: str):
+    """Last line of ``text`` that parses to a dict with a 'metric' key."""
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "metric" in obj:
+            return obj
+    return None
+
+
+def _run_child(iters: int, batch: int, timeout_s: int):
+    """(parsed_json_or_None, error_description_or_None)."""
+    cmd = [sys.executable, __file__, "--child", str(iters), str(batch)]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"child timed out after {timeout_s}s"
+    if proc.stderr:
+        sys.stderr.write(proc.stderr[-2000:])
+    parsed = _parse_json_line(proc.stdout or "")
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-1:] or ["<no stderr>"]
+        return None, f"child rc={proc.returncode}: {tail[0][:300]}"
+    if parsed is None:
+        return None, "child exited 0 but printed no JSON metric line"
+    return parsed, None
+
+
+def main() -> None:
+    attempts = [(50, 8, _CHILD_TIMEOUT_S), (10, 4, _RETRY_TIMEOUT_S)]
+    errors = []
+    for iters, batch, timeout_s in attempts:
+        parsed, err = _run_child(iters, batch, timeout_s)
+        if parsed is not None:
+            print(json.dumps(parsed))
+            return
+        errors.append(err)
+        sys.stderr.write(f"bench attempt failed ({err}); "
+                         f"{'retrying smaller' if len(errors) < len(attempts) else 'giving up'}\n")
+    print(json.dumps({
+        "metric": "canny_1080p_gpix_s",
+        "value": 0.0,
+        "unit": "GPix/s",
+        "vs_baseline": 0.0,
+        "error": " | ".join(e or "?" for e in errors),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 2 and sys.argv[1] == "--child":
+        _child(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()
