@@ -65,8 +65,15 @@ def set_video_backend(backend: str) -> None:
         except ImportError:
             raise RuntimeError("video backend 'pyav' requires the av package, "
                                "not available on this build")
+    elif backend == "video_reader":
+        from .io import _ffmpeg
+
+        if not _ffmpeg.available():
+            raise RuntimeError(
+                "video backend 'video_reader' requires the native ffmpeg shim, "
+                "which could not be built on this host")
     elif backend != "mjpeg":
-        raise RuntimeError(f"video backend {backend!r} requires ffmpeg/NVDEC, not available on this build")
+        raise RuntimeError(f"video backend {backend!r} requires NVDEC, not available on this build")
     _video_backend = backend
 
 

@@ -26,11 +26,14 @@ from .video import (  # noqa: F401
     write_video,
 )
 
-# capability flags (reference ``io/__init__.py:15-27``): this build decodes
-# MJPEG-AVI natively on the host CPU; there is no ffmpeg video_opt and no
+# capability flags (reference ``io/__init__.py:15-27``): MJPEG-AVI/npy/
+# frame-dir decode is always native; compressed codecs (h264 et al.) ride
+# the C++ ffmpeg shim when the system libavcodec stack is present; no
 # GPU/NVDEC path on TPU
+from . import _ffmpeg  # noqa: E402
+
 _HAS_CPU_VIDEO_DECODER = True
-_HAS_VIDEO_OPT = False
+_HAS_VIDEO_OPT = _ffmpeg.available()
 _HAS_GPU_VIDEO_DECODER = False
 
 Video = VideoReader  # reference alias (``io/__init__.py``)

@@ -1,6 +1,9 @@
 #!/bin/sh
-# Build the native codec shim. Run from anywhere.
+# Build the native codec shims. Run from anywhere.
 set -e
 dir="$(dirname "$0")"
 g++ -O2 -shared -fPIC -o "$dir/_codecs.so" "$dir/_codecs.cpp" -ljpeg -lpng -lwebp
 echo "built $dir/_codecs.so"
+g++ -O2 -shared -fPIC -o "$dir/_video_codecs.so" "$dir/_video_codecs.cpp" \
+    -lavformat -lavcodec -lswscale -lswresample -lavutil
+echo "built $dir/_video_codecs.so"

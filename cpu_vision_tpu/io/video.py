@@ -1,23 +1,22 @@
 """Video IO (reference ``torchvision/io/video.py`` + ``video_reader.py``).
 
-The reference decodes through ffmpeg/pyav/NVDEC — none of which exist in
-this TPU runtime (SURVEY §2a).  Instead of stubbing the whole API, the
-container layer is implemented natively:
+The container layer has two native tiers:
 
-* **MJPEG-AVI** (``.avi``): a pure-Python RIFF parser/writer around the
-  package's native JPEG codec (``io/_codecs.cpp``).  Motion-JPEG is the
-  standard self-contained intra-only format — every frame is a JPEG chunk —
-  so read/write needs no external decoder and decode parallelises across
-  frames (each chunk releases the GIL).
-* **``.npy`` / ``.npz``** raw THWC uint8 arrays (the pre-extracted-tensor
-  layout the video datasets use).
-* **frame directories** of numbered images (the pre-extracted-frame layout).
+* **Compressed codecs** (h264/hevc/mpeg4/vp9 mp4/mkv/mov, non-MJPEG AVI):
+  the C++ ffmpeg shim ``_video_codecs.cpp`` (counterpart of the reference's
+  ``csrc/io/decoder/decoder.cpp`` + ``csrc/io/video_reader``) decodes on
+  the host through the system libavformat/libavcodec/libswscale into
+  contiguous THWC RGB uint8, with demux-only pts probing, h264/mpeg4/mjpeg
+  *encode*, and best-audio-stream decode to float32.
+* **Self-contained layouts**, decoded without ffmpeg at all:
+  MJPEG-AVI (pure-Python RIFF parser/writer around the package's native
+  JPEG codec), ``.npy`` / ``.npz`` raw THWC uint8 arrays, and frame
+  directories of numbered images.
 
 ``read_video`` / ``write_video`` / ``read_video_timestamps`` follow the
 reference's contracts (``video.py:236-334``, ``video.py:48-129``);
-``VideoReader`` the streaming API (``video_reader.py:57-285``).  Audio
-streams are not decoded (no ffmpeg): ``aframes`` is always empty, as the
-reference returns for videos without audio.
+``VideoReader`` the streaming API (``video_reader.py:57-285``).  PyAV is a
+final optional fallback when the shim cannot be built.
 """
 
 from __future__ import annotations
@@ -84,9 +83,10 @@ def _parse_avi(data: bytes) -> Tuple[List[bytes], float]:
     frames: List[bytes] = []
     fps = 0.0
     micro_per_frame = 0
+    handler = b""
 
     def walk(start: int, end: int):
-        nonlocal fps, micro_per_frame
+        nonlocal fps, micro_per_frame, handler
         for fourcc, p, size in _iter_riff_chunks(data, start, end):
             if fourcc == b"LIST":
                 walk(p + 4, p + size)  # skip the list-type fourcc
@@ -95,6 +95,7 @@ def _parse_avi(data: bytes) -> Tuple[List[bytes], float]:
             elif fourcc == b"strh" and size >= 32:
                 fcc_type = data[p : p + 4]
                 if fcc_type == b"vids":
+                    handler = data[p + 4 : p + 8]
                     scale, rate = struct.unpack("<II", data[p + 20 : p + 28])
                     if scale:
                         fps = rate / scale
@@ -102,6 +103,10 @@ def _parse_avi(data: bytes) -> Tuple[List[bytes], float]:
                 frames.append(data[p : p + size])
 
     walk(12, len(data))
+    if handler.upper() not in (b"MJPG", b"JPEG", b"\x00\x00\x00\x00", b""):
+        # a compressed-codec AVI (XVID, DIVX, ...): route to the ffmpeg shim
+        raise RuntimeError(
+            f"AVI vids handler {handler!r} is not MJPEG; needs the ffmpeg shim")
     if not fps and micro_per_frame:
         fps = 1e6 / micro_per_frame
     return frames, fps or 30.0
@@ -216,6 +221,15 @@ def _decode_pyav(filename: str) -> Tuple[np.ndarray, float]:
     return np.stack(frames), fps
 
 
+def _decode_ffmpeg(filename: str) -> Tuple[np.ndarray, float]:
+    """Compressed-codec decode through the native C++ ffmpeg shim
+    (``_video_codecs.cpp``, counterpart of ``csrc/io/decoder``)."""
+    from . import _ffmpeg
+
+    video, fps, _pts = _ffmpeg.decode_video(filename)
+    return video, fps or 30.0
+
+
 def _decode_any(filename: str) -> Tuple[np.ndarray, float]:
     if os.path.isdir(filename):
         return _decode_frame_dir(filename)
@@ -224,13 +238,19 @@ def _decode_any(filename: str) -> Tuple[np.ndarray, float]:
     try:
         return _decode_avi(filename)
     except RuntimeError as avi_err:
-        # not our native MJPEG-AVI container: try PyAV for compressed codecs
+        # not our native MJPEG-AVI container: compressed codecs go through
+        # the C++ ffmpeg shim, then PyAV as a last optional fallback
+        from . import _ffmpeg
+
+        if _ffmpeg.available():
+            return _decode_ffmpeg(filename)
         try:
             return _decode_pyav(filename)
         except ImportError:
             raise RuntimeError(
-                f"{avi_err}; compressed codecs (h264 et al.) need the optional "
-                f"PyAV backend, which is not installed") from avi_err
+                f"{avi_err}; compressed codecs (h264 et al.) need the native "
+                f"ffmpeg shim (unbuildable on this host) or the optional "
+                f"PyAV backend, neither of which is available") from avi_err
 
 
 # ------------------------------------------------------------------- public
@@ -270,8 +290,24 @@ def read_video(
     video = video[start : end + 1]
     if output_format == "TCHW":
         video = np.transpose(video, (0, 3, 1, 2))
-    aframes = np.empty((1, 0), np.float32)  # no audio backends (module docstring)
-    return video, aframes, {"video_fps": fps}
+
+    # audio rides the ffmpeg shim (self-contained layouts carry none),
+    # sliced to the same [start, end] window (reference io/video.py:305-320)
+    aframes = np.empty((1, 0), np.float32)
+    info: Dict[str, Any] = {"video_fps": fps}
+    if not os.path.isdir(filename) and not filename.endswith((".npy", ".npz")):
+        from . import _ffmpeg
+
+        if _ffmpeg.available():
+            try:
+                aframes, rate = _ffmpeg.decode_audio(filename)
+                info["audio_fps"] = rate
+                s0 = int(round(start / fps * rate))
+                s1 = aframes.shape[1] if end >= t - 1 else int(round((end + 1) / fps * rate))
+                aframes = aframes[:, s0:s1]
+            except RuntimeError:
+                pass  # no audio stream (or no shim decode for this container)
+    return video, aframes, info
 
 
 def _probe_any(filename: str) -> Tuple[int, float]:
@@ -284,9 +320,17 @@ def _probe_any(filename: str) -> Tuple[int, float]:
         return np.load(filename, mmap_mode="r").shape[0], 30.0
     if filename.endswith(".npz"):
         return _decode_array_file(filename)[0].shape[0], 30.0
-    with open(filename, "rb") as f:
-        chunks, fps = _parse_avi(f.read())
-    return len(chunks), fps
+    try:
+        with open(filename, "rb") as f:
+            chunks, fps = _parse_avi(f.read())
+        return len(chunks), fps
+    except RuntimeError:
+        from . import _ffmpeg
+
+        if not _ffmpeg.available():
+            raise
+        pts, fps = _ffmpeg.video_timestamps(filename)  # demux-only, no decode
+        return len(pts), fps or 30.0
 
 
 def read_video_timestamps(
@@ -315,10 +359,10 @@ def write_video(
 ) -> None:
     """Write a (T, H, W, C) uint8 video (reference ``io/video.py:write_video``).
 
-    Supported codecs on this build: ``mjpeg`` (MJPEG-AVI via the native
-    JPEG encoder; ``options={'quality': 1-100}``) and ``npy`` (raw array).
-    Codecs that need ffmpeg (libx264 etc.) raise, like the reference does
-    when built without them.
+    Codecs: ``mjpeg`` (MJPEG-AVI via the native JPEG encoder;
+    ``options={'quality': 1-100}``), ``npy`` (raw array), and — through the
+    C++ ffmpeg shim — ``libx264``/``h264`` and ``mpeg4``
+    (``options={'crf': 0-51}``).  Audio muxing is not implemented.
     """
     video = np.asarray(video_array)
     if video.dtype != np.uint8:
@@ -326,14 +370,22 @@ def write_video(
     if video.ndim != 4 or video.shape[-1] != 3:
         raise ValueError(f"video_array must be (T, H, W, 3), got {video.shape}")
     if audio_array is not None:
-        raise RuntimeError("audio muxing requires ffmpeg, which this build does not have")
+        raise RuntimeError("audio muxing is not implemented on this build")
     if video_codec == "npy" or filename.endswith(".npy"):
         np.save(filename, video)
         return
+    if video_codec in ("libx264", "h264", "mpeg4", "hevc", "libx265"):
+        from . import _ffmpeg
+
+        name = {"h264": "libx264", "hevc": "libx265"}.get(video_codec, video_codec)
+        crf = int((options or {}).get("crf", 23))
+        _ffmpeg.encode_video(filename, video, fps, codec=name, crf=crf)
+        return
     if video_codec != "mjpeg":
         raise RuntimeError(
-            f"video_codec={video_codec!r} requires ffmpeg; this build encodes "
-            "'mjpeg' (MJPEG-AVI) and 'npy' natively")
+            f"video_codec={video_codec!r} is not supported; this build encodes "
+            "'mjpeg' (MJPEG-AVI) and 'npy' natively, plus 'libx264'/'h264'/"
+            "'mpeg4' through the ffmpeg shim")
     quality = int((options or {}).get("quality", 90))
     _encode_avi(filename, video, fps, quality)
 

@@ -1,0 +1,190 @@
+"""Compressed-video path through the native C++ ffmpeg shim
+(``io/_video_codecs.cpp``, counterpart of the reference's
+``csrc/io/decoder/decoder.cpp`` + pyav backend ``io/video.py:236``):
+h264/mpeg4 encode+decode round trips, a committed h264 fixture, a
+cross-implementation check against OpenCV's own bundled ffmpeg, demux-only
+timestamps, audio decode, and route-equivalence goldens (MJPEG vs frame-dir
+vs npy on identical content)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cpu_vision_tpu import io as cvio
+from cpu_vision_tpu.io import _ffmpeg
+
+ASSETS = os.path.join(os.path.dirname(__file__), "assets")
+
+pytestmark = pytest.mark.skipif(
+    not _ffmpeg.available(), reason="native ffmpeg shim unavailable on this host"
+)
+
+
+@pytest.fixture()
+def video():
+    """Codec-friendly moving-gradient frames (smooth → tight loss bounds)."""
+    t, h, w = 8, 64, 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.stack([((2 * xx + yy + 6 * i) % 256).astype(np.uint8) for i in range(t)])
+    return np.repeat(frames[..., None], 3, axis=-1).copy()
+
+
+class TestCompressedRoundTrip:
+    @pytest.mark.parametrize("codec,ext", [("libx264", "mp4"), ("h264", "mp4"),
+                                           ("mpeg4", "mp4"), ("libx264", "mkv")])
+    def test_roundtrip(self, tmp_path, video, codec, ext):
+        p = str(tmp_path / f"v.{ext}")
+        cvio.write_video(p, video, fps=10.0, video_codec=codec, options={"crf": 18})
+        out, audio, info = cvio.read_video(p)
+        assert out.shape == video.shape and out.dtype == np.uint8
+        assert info["video_fps"] == pytest.approx(10.0, rel=0.01)
+        assert audio.size == 0  # video-only container
+        err = np.abs(out.astype(int) - video.astype(int)).mean()
+        assert err < 3.0, f"{codec} round-trip mean err {err}"
+
+    def test_sec_window(self, tmp_path, video):
+        p = str(tmp_path / "v.mp4")
+        cvio.write_video(p, video, fps=10.0, video_codec="libx264")
+        v, _, _ = cvio.read_video(p, start_pts=0.3, end_pts=0.6, pts_unit="sec")
+        assert v.shape[0] == 4  # pts 0.3, 0.4, 0.5, 0.6
+        np.testing.assert_array_less(
+            np.abs(v.astype(int) - video[3:7].astype(int)).mean(), 3.0)
+
+    def test_timestamps_probe(self, tmp_path, video):
+        p = str(tmp_path / "v.mp4")
+        cvio.write_video(p, video, fps=10.0, video_codec="libx264")
+        pts, fps = cvio.read_video_timestamps(p, pts_unit="sec")
+        assert len(pts) == video.shape[0]
+        assert fps == pytest.approx(10.0, rel=0.01)
+
+    def test_video_reader_streaming(self, tmp_path, video):
+        p = str(tmp_path / "v.mp4")
+        cvio.write_video(p, video, fps=10.0, video_codec="libx264")
+        reader = cvio.VideoReader(p)
+        frames = list(reader)
+        assert len(frames) == video.shape[0]
+        assert frames[0]["data"].shape == video.shape[1:]
+        meta = reader.get_metadata()
+        assert meta["video"]["fps"][0] == pytest.approx(10.0, rel=0.01)
+
+    def test_odd_dims_rejected(self, tmp_path):
+        bad = np.zeros((2, 33, 48, 3), np.uint8)
+        with pytest.raises(ValueError, match="even"):
+            cvio.write_video(str(tmp_path / "v.mp4"), bad, fps=10.0, video_codec="libx264")
+
+    def test_video_reader_backend_switch(self):
+        import cpu_vision_tpu as cvt
+
+        prev = cvt.get_video_backend()
+        try:
+            cvt.set_video_backend("video_reader")
+            assert cvt.get_video_backend() == "video_reader"
+        finally:
+            cvt.set_video_backend(prev)
+
+
+class TestCommittedFixture:
+    """A real h264 bitstream committed to the repo decodes byte-stably
+    (guards against system-libavcodec / shim regressions)."""
+
+    def test_decode_fixture(self):
+        p = os.path.join(ASSETS, "tiny_h264.mp4")
+        out, _audio, info = cvio.read_video(p)
+        golden = np.load(os.path.join(ASSETS, "tiny_h264_golden.npy"))
+        assert out.shape == golden.shape
+        assert info["video_fps"] == pytest.approx(10.0, rel=0.01)
+        # decode of a fixed bitstream is deterministic up to idct rounding
+        err = np.abs(out.astype(int) - golden.astype(int)).mean()
+        assert err < 1.0, f"fixture decode drifted, mean err {err}"
+
+
+class TestCrossImplementation:
+    """Decode a file encoded by OpenCV's own bundled ffmpeg (a fully
+    independent encoder build) — proves the demux/decode path against
+    bitstreams we did not produce."""
+
+    def test_decode_opencv_mp4v(self, tmp_path, video):
+        cv2 = pytest.importorskip("cv2")
+        p = str(tmp_path / "cv.mp4")
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                            (video.shape[2], video.shape[1]))
+        assert w.isOpened()
+        for f in video:
+            w.write(f[..., ::-1])  # cv2 wants BGR
+        w.release()
+        out, _, info = cvio.read_video(p)
+        assert out.shape == video.shape
+        err = np.abs(out.astype(int) - video.astype(int)).mean()
+        assert err < 4.0, f"opencv-encoded mp4v decode err {err}"
+
+    def test_decode_opencv_xvid_avi(self, tmp_path, video):
+        """Non-MJPEG AVI must fall through the RIFF parser to the shim."""
+        cv2 = pytest.importorskip("cv2")
+        p = str(tmp_path / "cv.avi")
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"XVID"), 10,
+                            (video.shape[2], video.shape[1]))
+        assert w.isOpened()
+        for f in video:
+            w.write(f[..., ::-1])
+        w.release()
+        out, _, _ = cvio.read_video(p)
+        assert out.shape == video.shape
+        err = np.abs(out.astype(int) - video.astype(int)).mean()
+        assert err < 4.0
+
+
+class TestAudio:
+    def test_wav_sine_decode(self, tmp_path):
+        import struct
+        import wave
+
+        rate, dur_s, freq = 8000, 0.25, 440.0
+        n = int(rate * dur_s)
+        sig = 0.5 * np.sin(2 * np.pi * freq * np.arange(n) / rate)
+        p = str(tmp_path / "tone.wav")
+        with wave.open(p, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(rate)
+            f.writeframes(struct.pack(f"<{n}h", *(sig * 32767).astype(np.int16)))
+
+        audio, got_rate = _ffmpeg.decode_audio(p)
+        assert got_rate == rate
+        assert audio.shape == (1, n)
+        np.testing.assert_allclose(audio[0], sig, atol=2e-4)
+
+    def test_no_audio_stream_raises(self, tmp_path):
+        video = np.zeros((2, 32, 32, 3), np.uint8)
+        p = str(tmp_path / "v.mp4")
+        cvio.write_video(p, video, fps=10.0, video_codec="libx264")
+        with pytest.raises(RuntimeError):
+            _ffmpeg.decode_audio(p)
+
+
+class TestRouteEquivalence:
+    """The same content through every container route (VERDICT.md item 7):
+    npy and png-frame-dir decode bit-exactly; MJPEG within jpeg tolerance."""
+
+    def test_routes_agree(self, tmp_path, video):
+        # npy: bit-exact
+        p_npy = str(tmp_path / "v.npy")
+        cvio.write_video(p_npy, video, fps=10.0, video_codec="npy")
+        out_npy, _, _ = cvio.read_video(p_npy)
+        np.testing.assert_array_equal(out_npy, video)
+
+        # png frame dir: bit-exact
+        d = tmp_path / "frames"
+        d.mkdir()
+        for i, f in enumerate(video):
+            cvio.write_png(f, str(d / f"{i:04d}.png"))
+        out_dir, _, _ = cvio.read_video(str(d))
+        np.testing.assert_array_equal(out_dir, video)
+
+        # MJPEG-AVI: within jpeg tolerance of the exact routes
+        p_avi = str(tmp_path / "v.avi")
+        cvio.write_video(p_avi, video, fps=10.0, options={"quality": 95})
+        out_avi, _, _ = cvio.read_video(p_avi)
+        assert out_avi.shape == video.shape
+        err = np.abs(out_avi.astype(int) - out_npy.astype(int)).mean()
+        assert err < 4.0
