@@ -24,6 +24,7 @@ from . import maxvit as _maxvit  # noqa: F401
 from . import mvit as _mvit  # noqa: F401
 from . import quantization  # noqa: F401
 from . import torch_weights  # noqa: F401
+from .pth import load_pth_state_dict  # noqa: F401
 from .torch_weights import resnet_from_torch  # noqa: F401
 from . import regnet as _regnet  # noqa: F401
 from . import small_nets as _small_nets  # noqa: F401
