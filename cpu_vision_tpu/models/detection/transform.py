@@ -28,7 +28,7 @@ class GeneralizedRCNNTransform:
         image_std: Sequence[float] = (0.229, 0.224, 0.225),
         size_divisible: int = 32,
         fixed_size: Optional[Tuple[int, int]] = None,
-        size_bucket: Optional[int] = None,
+        size_bucket: Optional[int] = 64,
     ):
         self.min_size = min_size
         self.max_size = max_size
@@ -45,10 +45,11 @@ class GeneralizedRCNNTransform:
         Every distinct ``(th, tw)`` is a fresh XLA compilation of the resize
         program — on a variable-size dataset (COCO: thousands of distinct
         sizes) the exact reference rule is a compile storm.  ``size_bucket``
-        rounds the target up to a multiple of the bucket (clamped to the
-        canvas), collapsing the size set to a ~20x20 grid worst case; box
-        coordinates stay exact because scale factors are tracked per image.
-        Pass ``size_bucket=None`` for the reference's exact sizing.
+        (DEFAULT: 64) rounds the target up to a multiple of the bucket
+        (clamped to the canvas), collapsing the size set to a small grid;
+        box coordinates stay exact because scale factors are tracked per
+        image.  Pass ``size_bucket=None`` to opt out into the reference's
+        exact sizing (needed only for pixel-level parity checks).
         """
         if self.fixed_size is not None:
             return self.fixed_size

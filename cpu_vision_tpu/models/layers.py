@@ -39,6 +39,61 @@ class Conv(nn.Conv):
     """``nn.Conv`` with torch-style 'same-for-odd-kernels' default padding."""
 
 
+class PatchifyDense(nn.Module):
+    """Non-overlapping patchify conv (stride == kernel) as space-to-depth +
+    one matmul.
+
+    ViT's ``conv_proj`` (reference ``vision_transformer.py:290``), Swin's
+    4x4 embed (``swin_transformer.py``) and Swin3D's (2,4,4) embed all
+    convolve a 3-channel input with stride == kernel: each input element is
+    read exactly once, so the op IS a dense matmul over flattened patches.
+    On TPU the conv form pads the 3 input channels to 128 lanes (≈42x
+    wasted MXU work and HBM traffic); this form contracts over the packed
+    prod(patch)*C lanes at full utilisation.  The parameter keeps the
+    conv's HWIO/DHWIO kernel shape, so weight converters and param-parity
+    are unchanged — instantiate with ``name="Conv_0"`` (etc.) to occupy the
+    same slot in the param tree.
+
+    Output is the patch grid ``(N, *spatial//patch, features)``.
+    """
+
+    features: int
+    patch: tuple
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ps = tuple(self.patch)
+        n, c = x.shape[0], x.shape[-1]
+        spatial = x.shape[1:-1]
+        if len(ps) != len(spatial):
+            raise ValueError(f"patch {ps} does not match spatial dims {spatial}")
+        if any(s % p for s, p in zip(spatial, ps)):
+            raise ValueError(f"spatial dims {spatial} not divisible by patch {ps}")
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (*ps, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        shape = [n]
+        for s, p in zip(spatial, ps):
+            shape += [s // p, p]
+        shape.append(c)
+        x = x.reshape(shape)
+        k = len(ps)
+        # (n, g1, p1, g2, p2, ..., c) -> (n, g1, g2, ..., p1, p2, ..., c):
+        # row-major flatten of (p1, ..., pk, c) matches the kernel's
+        # (*patch, C, features) reduction order exactly
+        perm = [0] + [1 + 2 * i for i in range(k)] + [2 + 2 * i for i in range(k)] + [2 * k + 1]
+        x = x.transpose(perm)
+        grid = tuple(s // p for s, p in zip(spatial, ps))
+        flat = 1
+        for p in ps:
+            flat *= p
+        x = x.reshape(n, *grid, flat * c)
+        w = kernel.reshape(flat * c, self.features)
+        return x.astype(self.dtype) @ w.astype(self.dtype) + bias.astype(self.dtype)
+
+
 class FrozenBatchNorm(nn.Module):
     """BatchNorm with fixed statistics and affine params (reference
     ``FrozenBatchNorm2d``, ``ops/misc.py:13``): used by detection backbones

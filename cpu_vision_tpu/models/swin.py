@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ._api import register_model
-from .layers import StochasticDepth
+from .layers import PatchifyDense, StochasticDepth
 
 __all__ = ["SwinTransformer", "swin_t", "swin_s", "swin_b",
            "swin_v2_t", "swin_v2_s", "swin_v2_b"]
@@ -222,7 +222,8 @@ class SwinTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.embed_dim, (4, 4), (4, 4), padding="VALID", dtype=self.dtype)(x)
+        # patchify as space-to-depth matmul (models/layers.py:PatchifyDense)
+        x = PatchifyDense(self.embed_dim, (4, 4), dtype=self.dtype, name="Conv_0")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         total = sum(self.depths)
         bid = 0

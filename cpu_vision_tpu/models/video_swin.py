@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ._api import register_model
-from .layers import StochasticDepth
+from .layers import PatchifyDense, StochasticDepth
 
 __all__ = ["SwinTransformer3d", "swin3d_t", "swin3d_s", "swin3d_b"]
 
@@ -201,8 +201,9 @@ class SwinTransformer3d(nn.Module):
         pads = [(d + ps[i] - 1) // ps[i] * ps[i] - d for i, d in enumerate((t, h, w))]
         if any(pads):
             x = jnp.pad(x, ((0, 0), (0, pads[0]), (0, pads[1]), (0, pads[2]), (0, 0)))
-        x = nn.Conv(self.embed_dim, ps, strides=ps, padding="VALID",
-                    dtype=self.dtype, name="patch_embed")(x)
+        # patchify as space-to-depth matmul (models/layers.py:PatchifyDense)
+        x = PatchifyDense(self.embed_dim, tuple(ps), dtype=self.dtype,
+                          name="patch_embed")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         total = sum(self.depths)
         bid = 0

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ._api import register_model
+from .layers import PatchifyDense
 
 __all__ = ["VisionTransformer", "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32", "vit_h_14"]
 
@@ -61,7 +62,9 @@ class VisionTransformer(nn.Module):
         p = self.patch_size
         if h % p or w % p:
             raise ValueError(f"image size {(h, w)} not divisible by patch size {p}")
-        x = nn.Conv(self.hidden_dim, (p, p), (p, p), padding="VALID", dtype=self.dtype)(x)
+        # patchify as space-to-depth matmul (models/layers.py:PatchifyDense);
+        # named Conv_0 for param-tree compatibility with the conv formulation
+        x = PatchifyDense(self.hidden_dim, (p, p), dtype=self.dtype, name="Conv_0")(x)
         x = x.reshape(n, -1, self.hidden_dim)  # (N, S, D)
         cls = self.param("class_token", nn.initializers.zeros, (1, 1, self.hidden_dim))
         x = jnp.concatenate([jnp.broadcast_to(cls, (n, 1, self.hidden_dim)).astype(x.dtype), x], axis=1)

@@ -53,6 +53,40 @@ def pytest_report_header(config):
     return f"jax backend: {jax.default_backend()}, devices: {len(jax.devices())}"
 
 
+# ---------------------------------------------------------- fast/slow tiers
+#
+# `pytest -m "not slow"` is the fast CI tier: it must stay under ~15 min on
+# one CPU core while still exercising every op/kernel/transform once.  The
+# slow tier holds the exhaustive sweeps: the expect-file fingerprint of all
+# 123 builders, the live-reference numerical-parity files (which import and
+# run the reference's own torch code), full-zoo param parity, and the
+# learning-proof training runs.  (Mirrors the reference's split of unit
+# tests vs test_models.py expect tier, SURVEY.md §4.)
+
+_SLOW_FILES = {
+    "test_expect_models.py",      # all-builder fingerprint sweep
+    "test_reference_logits.py",   # live torch reference, every family
+    "test_detection_parity.py",   # live reference detection forwards
+    "test_param_parity.py",       # 79-builder param table vs reference
+    "test_learning.py",           # held-out learning proofs (training)
+    "test_references_detection.py",
+    "test_references_flow_similarity.py",
+    "test_model_coverage.py",     # inits every registered builder
+    "test_models_extra.py",       # heavy forward passes (maxvit/mvit/...)
+    "test_fcos_ssdlite_maxvit.py",
+    "test_video_swin.py",
+    "test_stereo.py",
+    "test_qat.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in _SLOW_FILES or fname.endswith("_vs_reference.py"):
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -177,3 +177,20 @@ class TestSizeBucketing:
         batch, out_boxes, scales = t([img], [boxes])
         back = t.postprocess_boxes(out_boxes[0], scales, 0)
         np.testing.assert_allclose(np.asarray(back), np.asarray(boxes), rtol=1e-5)
+
+    def test_bucketing_is_default_and_bounds_compiles(self):
+        """VERDICT round-2 item 5: the default transform must bound XLA
+        recompiles on a mixed-size stream (20 images, all different sizes
+        -> a handful of distinct resize targets), with exact sizing still
+        available via size_bucket=None."""
+        from cpu_vision_tpu.models import detection as det
+
+        t = det.GeneralizedRCNNTransform(min_size=320, max_size=640)
+        assert t.size_bucket, "bucketing must be on by default"
+        rng = np.random.default_rng(7)
+        sizes = list(zip(rng.integers(200, 900, 20), rng.integers(200, 900, 20)))
+        targets = {t._target_size(h, w) for h, w in sizes}
+        assert len(targets) <= 6, f"compile storm: {len(targets)} distinct targets"
+
+        exact = det.GeneralizedRCNNTransform(min_size=320, max_size=640, size_bucket=None)
+        assert len({exact._target_size(h, w) for h, w in sizes}) > len(targets)

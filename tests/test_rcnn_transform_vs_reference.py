@@ -40,7 +40,7 @@ class TestRCNNTransformVsReference:
     def test_target_size_rule(self, rtr):
         from cpu_vision_tpu.models.detection.transform import GeneralizedRCNNTransform
 
-        ours = GeneralizedRCNNTransform(min_size=800, max_size=1333)
+        ours = GeneralizedRCNNTransform(min_size=800, max_size=1333, size_bucket=None)
         for h, w in [(480, 640), (1024, 768), (333, 1999), (800, 800), (2000, 100)]:
             th, tw = ours._target_size(h, w)
             # the reference rule: scale = min(min_size/min, max_size/max)
@@ -64,7 +64,7 @@ class TestRCNNTransformVsReference:
         want_img = tlist.tensors[0].numpy().transpose(1, 2, 0)
         want_boxes = ttargets[0]["boxes"].numpy()
 
-        ours = GeneralizedRCNNTransform(min_size=100, max_size=200)
+        ours = GeneralizedRCNNTransform(min_size=100, max_size=200, size_bucket=None)
         batch, out_boxes, scales = ours([jnp.asarray(img)], [jnp.asarray(boxes)])
         got_img = np.asarray(batch[0])
         got_boxes = np.asarray(out_boxes[0])
@@ -82,7 +82,7 @@ class TestRCNNTransformVsReference:
 
         _, resize_boxes = rtr
         boxes = np.array([[12.0, 8.0, 50.0, 42.0]], np.float32)
-        ours = GeneralizedRCNNTransform(min_size=100, max_size=200)
+        ours = GeneralizedRCNNTransform(min_size=100, max_size=200, size_bucket=None)
         _, out_boxes, scales = ours([jnp.zeros((200, 300, 3))], [jnp.asarray(boxes)])
         back = np.asarray(ours.postprocess_boxes(out_boxes[0], scales, 0))
         want = resize_boxes(torch.from_numpy(np.asarray(out_boxes[0])),
