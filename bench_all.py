@@ -53,6 +53,66 @@ def emit(metric, value, unit, baseline=None):
     return row
 
 
+def _reference_fasterrcnn_cpu_ips(rng) -> float:
+    """images/s of the reference's own fasterrcnn_resnet50_fpn on this
+    host's CPU at 640x640 b8 (reference torchvision imported from source,
+    C-op schemas stubbed + python nms impl, exactly like
+    tests/test_detection_parity.py; roi_align rides the reference's own
+    python fallback, ops/roi_align.py:115-200)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from _reference_stub import reference_path_added, stub_torchvision_schemas
+
+    stub_torchvision_schemas()
+    reference_path_added()
+    import torch
+
+    torch.set_num_threads(1)
+
+    def py_nms(dets, scores, iou):
+        order = scores.argsort(descending=True)
+        keep = []
+        while order.numel():
+            i = order[0].item()
+            keep.append(i)
+            if order.numel() == 1:
+                break
+            rest = order[1:]
+            xx1 = torch.maximum(dets[i, 0], dets[rest, 0])
+            yy1 = torch.maximum(dets[i, 1], dets[rest, 1])
+            xx2 = torch.minimum(dets[i, 2], dets[rest, 2])
+            yy2 = torch.minimum(dets[i, 3], dets[rest, 3])
+            inter = (xx2 - xx1).clamp(0) * (yy2 - yy1).clamp(0)
+            a1 = (dets[i, 2] - dets[i, 0]) * (dets[i, 3] - dets[i, 1])
+            a2 = (dets[rest, 2] - dets[rest, 0]) * (dets[rest, 3] - dets[rest, 1])
+            order = rest[(inter / (a1 + a2 - inter)) <= iou]
+        return torch.as_tensor(keep, dtype=torch.int64)
+
+    try:
+        impl = torch.library.Library("torchvision", "IMPL", "CPU")
+        impl.impl("nms", py_nms)
+        globals().setdefault("_KEEP_IMPL", []).append(impl)
+    except Exception:
+        pass
+    import torchvision.ops.boxes as tob
+
+    tob._assert_has_ops = lambda: None
+    from torchvision.models.detection import fasterrcnn_resnet50_fpn
+
+    model = fasterrcnn_resnet50_fpn(weights=None, weights_backbone=None,
+                                    min_size=640, max_size=640).eval()
+    imgs = [torch.from_numpy(rng.random((3, 640, 640)).astype(np.float32))
+            for _ in range(8)]
+    with torch.no_grad():
+        model(imgs)  # warmup
+        t0 = time.perf_counter()
+        model(imgs)
+        dt = time.perf_counter() - t0
+    return 8 / dt
+
+
 def main():
     from cpu_vision_tpu import ops
     from cpu_vision_tpu.ops.cnn import cnn_forward, cnn_init
@@ -187,7 +247,33 @@ def main():
     dvars = rcnn.init(jax.random.PRNGKey(0), dx[:1], train=False)
     fd = jax.jit(lambda v, t: rcnn.apply(v, t, train=False))
     dtd = bench(fd, dvars, dx, iters=5)
-    rows.append(emit("fasterrcnn_640_infer_b8", 8 / dtd, "img/s"))
+    det_ips = 8 / dtd
+    rows.append(emit("fasterrcnn_640_infer_b8", det_ips, "img/s"))
+
+    # 6d-anchor. The same pipeline on the reference itself, on this host's
+    # CPU (reference torchvision imported from source with the C-op schemas
+    # stubbed, single-threaded like its scalar kernels) — anchors the
+    # detection stack to the north star's >=50x-over-CPU claim.
+    try:
+        cpu_ips = _reference_fasterrcnn_cpu_ips(rng)
+        rows.append(emit("fasterrcnn_640_infer_b8_cpu", cpu_ips, "img/s"))
+        rows.append(emit("fasterrcnn_640_vs_cpu", det_ips / cpu_ips, "x", baseline=50.0))
+    except Exception as e:  # reference import can fail outside the repo env
+        print(f"# fasterrcnn CPU anchor skipped: {e}")
+
+    # 6e. int8 on BN-folded variables: the BN scale rides the conv kernel
+    # (absorbed by per-channel weight quantisation) and the per-layer
+    # normalisation pass over activations disappears.
+    from cpu_vision_tpu.models.quantization import fold_batchnorm
+
+    folded = fold_batchnorm(m, variables, x[:1], train=False)
+    fscales = calibrate_activations(m, folded, [x[:32]], train=False)
+    ff8 = jax.jit(lambda v, t: apply_int8(m, v, t, act_scales=fscales, train=False))
+    dtf8 = bench(ff8, folded, x, iters=10)
+    rows.append(emit("resnet50_infer_b256_int8_folded", 256 / dtf8, "img/s"))
+    lo_8f = np.asarray(ff8(folded, x[:64])).astype(np.float32)
+    relf = float(np.linalg.norm(lo_8f - lo_f) / max(np.linalg.norm(lo_f), 1e-9)) * 100
+    rows.append(emit("int8_folded_logit_rel_err", relf, "%"))
 
     import optax
 
