@@ -275,6 +275,20 @@ def main():
     relf = float(np.linalg.norm(lo_8f - lo_f) / max(np.linalg.norm(lo_f), 1e-9)) * 100
     rows.append(emit("int8_folded_logit_rel_err", relf, "%"))
 
+    # 6f. full int8 engine: activations stay int8 between layers, BN folded
+    # into int8 kernels, residual adds requantised — the fused-graph design
+    # (models/quantization_resnet.py), counterpart of the reference's
+    # models/quantization/resnet.py fused modules.
+    from cpu_vision_tpu.models.quantization_resnet import Int8ResNet
+
+    eng = Int8ResNet.from_model(m, variables).calibrate([x[:32]])
+    fe8 = jax.jit(eng)
+    dte8 = bench(fe8, x, iters=10)
+    rows.append(emit("resnet50_infer_b256_int8_e2e", 256 / dte8, "img/s"))
+    lo_e8 = np.asarray(fe8(x[:64])).astype(np.float32)
+    rele = float(np.linalg.norm(lo_e8 - lo_f) / max(np.linalg.norm(lo_f), 1e-9)) * 100
+    rows.append(emit("int8_e2e_logit_rel_err", rele, "%"))
+
     import optax
 
     tx = optax.sgd(0.1, momentum=0.9)

@@ -4,7 +4,9 @@ PIL fallback, and a native MJPEG-AVI / array / frame-dir video layer
 
 from .image import (  # noqa: F401
     ImageReadMode,
+    decode_avif,
     decode_gif,
+    decode_heic,
     decode_image,
     decode_jpeg,
     decode_png,
@@ -37,14 +39,6 @@ _HAS_VIDEO_OPT = _ffmpeg.available()
 _HAS_GPU_VIDEO_DECODER = False
 
 Video = VideoReader  # reference alias (``io/__init__.py``)
-
-
-def decode_heic(data, mode=None):
-    """HEIC decode (reference ``io/image.py:decode_heic``): gated on a
-    libheif build, exactly as the reference raises when compiled without
-    it — no heif library exists in this runtime."""
-    raise RuntimeError(
-        "decode_heic requires libheif, which this build was compiled without")
 
 
 def _unsupported_video_opt(name):

@@ -125,6 +125,18 @@ int cvt_video_decode(const char* path, double start_sec, double end_sec,
                                AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
                                nullptr, nullptr);
           if (!sws) return -8;
+          // honor full-range (JPEG-range) sources — MJPEG, and stills like
+          // AVIF — or the RGB conversion is ~7 LSB dark across the board
+          if (frame->color_range == AVCOL_RANGE_JPEG) {
+            int* inv_table;
+            int* table;
+            int src_range, dst_range, brightness, contrast, saturation;
+            if (sws_getColorspaceDetails(sws, &inv_table, &src_range, &table,
+                                         &dst_range, &brightness, &contrast,
+                                         &saturation) >= 0)
+              sws_setColorspaceDetails(sws, inv_table, 1, table, dst_range,
+                                       brightness, contrast, saturation);
+          }
           rgb->format = AV_PIX_FMT_RGB24;
           rgb->width = W;
           rgb->height = H;

@@ -29,6 +29,8 @@ __all__ = [
     "decode_jpeg",
     "decode_png",
     "decode_webp",
+    "decode_avif",
+    "decode_heic",
     "encode_jpeg",
     "encode_png",
     "read_image",
@@ -259,6 +261,11 @@ def decode_image(data: Union[bytes, str], mode: ImageReadMode = ImageReadMode.UN
     ``decode_image``, ``io/image.py:284``).  Accepts bytes or a path."""
     if isinstance(data, str):
         data = read_file(data)
+    brand = _isobmff_brand(data)
+    if brand in _AVIF_BRANDS or brand in _HEIF_BRANDS:
+        from . import _heif_py
+
+        return _apply_mode(_heif_py.decode(bytes(data)), mode)
     try:
         arr = _native_decode("cvt_decode_image", data)
     except ValueError:
@@ -292,6 +299,36 @@ def decode_webp(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> n
     if arr is None:
         arr = _pil_decode(data)
     return _apply_mode(arr, mode)
+
+
+_HEIF_BRANDS = {b"heic", b"heix", b"hevc", b"heim", b"heis", b"hevm",
+                b"hevs", b"mif1", b"msf1"}
+_AVIF_BRANDS = {b"avif", b"avis"}
+
+
+def _isobmff_brand(data: bytes) -> bytes:
+    """Major brand of an ISO-BMFF (ftyp) container, or b'' if not one."""
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return data[8:12]
+    return b""
+
+
+def decode_avif(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
+    """AVIF bytes -> HWC uint8 (reference ``decode_avif`` over libavif,
+    ``csrc/io/image/cpu/decode_avif.cpp``; here the libheif shim with its
+    dav1d backend, ``io/_heif.cpp``)."""
+    from . import _heif_py
+
+    return _apply_mode(_heif_py.decode(bytes(data)), mode)
+
+
+def decode_heic(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
+    """HEIC bytes -> HWC uint8 (reference ``decode_heic`` over libheif,
+    ``csrc/io/image/cpu/decode_heic.cpp``; here the same libheif through
+    ``io/_heif.cpp``)."""
+    from . import _heif_py
+
+    return _apply_mode(_heif_py.decode(bytes(data)), mode)
 
 
 def decode_gif(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:

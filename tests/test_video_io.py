@@ -113,8 +113,8 @@ class TestNamespaceParity:
         assert cvio._HAS_VIDEO_OPT is _ffmpeg.available()
         with pytest.raises(RuntimeError, match="video_opt"):
             cvio._read_video_from_memory(b"")
-        with pytest.raises(RuntimeError, match="libheif"):
-            cvio.decode_heic(b"")
+        with pytest.raises((RuntimeError, ValueError)):
+            cvio.decode_heic(b"not heif bytes")
 
 
 class TestReviewFixes:
