@@ -1,10 +1,12 @@
 """Video-classification datasets (reference ``torchvision/datasets/
 {kinetics,hmdb51,ucf101}.py``) with the reference's split/annotation parsing.
 
-Video *decode* is host-side and ffmpeg-free here (SURVEY §2a marks the ffmpeg
-stack out of scope): a "video" is a directory of frame images (sorted order)
-or a ``.npy`` (T, H, W, C) uint8 stack — the standard pre-extracted-frames
-production layout. Clip indexing matches the reference's ``VideoClips``.
+Video decode is host-side: real containers (.mp4/.avi/.mkv/.mov/.webm —
+h264/hevc/mpeg4 through the native ffmpeg shim, ``io/_video_codecs.cpp``),
+directories of frame images (sorted order), and ``.npy`` (T, H, W, C) uint8
+stacks (the pre-extracted production layouts).  Clip indexing matches the
+reference's ``VideoClips``; container frame counts come from the shim's
+demux-only timestamp probe (no pixel decode at index time).
 """
 
 from __future__ import annotations
@@ -21,7 +23,8 @@ from .vision import VisionDataset
 
 __all__ = ["Kinetics", "HMDB51", "UCF101", "FrameVideoClips"]
 
-VIDEO_EXTENSIONS = (".npy",)  # + directories of frames
+CONTAINER_EXTENSIONS = (".avi", ".mp4", ".mkv", ".mov", ".webm")
+VIDEO_EXTENSIONS = (".npy",) + CONTAINER_EXTENSIONS  # + directories of frames
 
 
 def _is_video(path: str) -> bool:
@@ -45,6 +48,10 @@ def _make_video_dataset(directory, class_to_idx) -> List[Tuple[str, int]]:
 def _video_len(path: str) -> int:
     if path.endswith(".npy"):
         return np.load(path, mmap_mode="r").shape[0]
+    if path.lower().endswith(CONTAINER_EXTENSIONS):
+        from ..io.video import read_video_timestamps
+
+        return len(read_video_timestamps(path)[0])  # demux-only probe
     return sum(1 for f in os.listdir(path) if f.lower().endswith(IMG_EXTENSIONS))
 
 
@@ -52,6 +59,11 @@ def _read_frames(path: str, frame_idx: np.ndarray) -> np.ndarray:
     """(T, H, W, C) uint8 clip at the given frame indices."""
     if path.endswith(".npy"):
         return np.asarray(np.load(path, mmap_mode="r")[frame_idx])
+    if path.lower().endswith(CONTAINER_EXTENSIONS):
+        from ..io.video import read_video
+
+        video, _, _ = read_video(path)
+        return np.asarray(video[frame_idx])
     frames = sorted(f for f in os.listdir(path) if f.lower().endswith(IMG_EXTENSIONS))
     return np.stack([default_loader(os.path.join(path, frames[i])) for i in frame_idx])
 

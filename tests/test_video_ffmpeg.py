@@ -188,3 +188,30 @@ class TestRouteEquivalence:
         assert out_avi.shape == video.shape
         err = np.abs(out_avi.astype(int) - out_npy.astype(int)).mean()
         assert err < 4.0
+
+
+class TestVideoDatasetOverContainers:
+    """Kinetics over real h264 mp4 files: the full stack — dataset scan,
+    demux-only clip indexing (read_video_timestamps), shim decode — runs
+    end to end (reference kinetics.py over pyav/video_reader)."""
+
+    def test_kinetics_mp4(self, tmp_path, video):
+        from cpu_vision_tpu import datasets
+
+        root = tmp_path / "train"
+        for cls in ("juggling", "sleeping"):
+            d = root / cls
+            d.mkdir(parents=True)
+            for i in range(2):
+                cvio.write_video(str(d / f"v{i}.mp4"), video, fps=10.0,
+                                 video_codec="libx264")
+
+        ds = datasets.Kinetics(str(tmp_path), frames_per_clip=4, split="train")
+        assert len(ds) == 4 * (video.shape[0] - 4 + 1)
+        clip, _audio, label = ds[0]
+        assert clip.shape == (4,) + video.shape[1:]
+        assert clip.dtype == np.uint8
+        assert label in (0, 1)
+        # clip content matches a straight decode of the same frames
+        direct, _, _ = cvio.read_video(str(root / "juggling" / "v0.mp4"))
+        np.testing.assert_array_equal(clip, direct[:4])
