@@ -188,9 +188,12 @@ class TestSizeBucketing:
         t = det.GeneralizedRCNNTransform(min_size=320, max_size=640)
         assert t.size_bucket, "bucketing must be on by default"
         rng = np.random.default_rng(7)
-        sizes = list(zip(rng.integers(200, 900, 20), rng.integers(200, 900, 20)))
+        sizes = list(zip(rng.integers(200, 900, 200), rng.integers(200, 900, 200)))
         targets = {t._target_size(h, w) for h, w in sizes}
-        assert len(targets) <= 6, f"compile storm: {len(targets)} distinct targets"
-
+        # the bucketed target set SATURATES: a 200-image stream lands on a
+        # small finite grid (<= ~(max-min)/bucket + 1 per dim), while the
+        # exact rule keeps minting fresh shapes
+        assert len(targets) <= 16, f"compile storm: {len(targets)} distinct targets"
         exact = det.GeneralizedRCNNTransform(min_size=320, max_size=640, size_bucket=None)
-        assert len({exact._target_size(h, w) for h, w in sizes}) > len(targets)
+        exact_targets = {exact._target_size(h, w) for h, w in sizes}
+        assert len(exact_targets) > 4 * len(targets)
