@@ -76,6 +76,12 @@ def _load_lib():
         ctypes.c_char_p, _U8P, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_char_p, ctypes.c_int,
     ]
+    lib.cvt_video_encode_av.restype = ctypes.c_int
+    lib.cvt_video_encode_av.argtypes = [
+        ctypes.c_char_p, _U8P, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_char_p, ctypes.c_int,
+        _FP, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+    ]
     lib.cvt_audio_decode.restype = ctypes.c_int
     lib.cvt_audio_decode.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(_FP), ctypes.POINTER(ctypes.c_int),
@@ -170,6 +176,32 @@ def encode_video(
     if rc != 0:
         raise RuntimeError(
             f"ffmpeg encode to {path!r} with codec {codec!r} failed (code {rc})")
+
+
+def encode_video_av(
+    path: str, frames: np.ndarray, fps: float, audio: np.ndarray,
+    audio_rate: int, codec: str = "libx264", crf: int = 23,
+) -> None:
+    """Encode video + one AAC audio stream.  ``audio`` is (channels,
+    samples) float32 (the shape ``read_video``/``decode_audio`` return)."""
+    lib = _require()
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    t, h, w = frames.shape[:3]
+    if codec != "mjpeg" and (h % 2 or w % 2):
+        raise ValueError(f"codec {codec!r} needs even frame dims; got {h}x{w}")
+    audio = np.asarray(audio, np.float32)
+    if audio.ndim != 2:
+        raise ValueError(f"audio must be (channels, samples), got {audio.shape}")
+    interleaved = np.ascontiguousarray(audio.T)  # (samples, channels)
+    rc = lib.cvt_video_encode_av(
+        os.fsencode(path), frames.ctypes.data_as(_U8P), t, h, w,
+        ctypes.c_double(fps), codec.encode("ascii"), crf,
+        interleaved.ctypes.data_as(_FP), interleaved.shape[0],
+        interleaved.shape[1], int(audio_rate),
+    )
+    if rc != 0:
+        raise RuntimeError(
+            f"ffmpeg audio+video encode to {path!r} failed (code {rc})")
 
 
 def decode_audio(path: str) -> Tuple[np.ndarray, int]:

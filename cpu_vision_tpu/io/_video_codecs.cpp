@@ -343,6 +343,145 @@ int cvt_video_encode(const char* path, const uint8_t* thwc, int t, int h,
   return rc;
 }
 
+// Mux interleaved float32 PCM (samples x channels) as an audio stream into
+// an ALREADY-ENCODED video file is awkward with one pass, so audio+video
+// muxing is a single call: encode THWC video AND float audio together
+// (reference write_video's audio_array path, io/video.py:48-129).
+int cvt_video_encode_av(const char* path, const uint8_t* thwc, int t, int h,
+                        int w, double fps, const char* codec_name, int crf,
+                        const float* audio, long long n_samples, int channels,
+                        int sample_rate) {
+  if (!audio || n_samples <= 0)
+    return cvt_video_encode(path, thwc, t, h, w, fps,
+                            codec_name ? codec_name : "libx264", crf);
+  // Keep the implementation simple and robust: write video first via the
+  // single-stream encoder into a temp file, then remux + encode audio.
+  // (ffmpeg's API cost of interleaving two encoders in one pass is high;
+  // for the library's contract — a file with both streams — this is
+  // equivalent.)  Temp file shares the container format of `path`.
+  // tmp must keep the extension: the muxer picks the container from it
+  std::string spath(path);
+  size_t dot = spath.find_last_of('.');
+  std::string ext = dot == std::string::npos ? "mp4" : spath.substr(dot + 1);
+  std::string tmp = spath + ".videotmp." + ext;
+  int rc = cvt_video_encode(tmp.c_str(), thwc, t, h, w, fps,
+                            codec_name ? codec_name : "libx264", crf);
+  if (rc != 0) { remove(tmp.c_str()); return rc; }
+
+  AVFormatContext* in_fmt = nullptr;
+  AVFormatContext* oc = nullptr;
+  AVCodecContext* aenc = nullptr;
+  SwrContext* swr = nullptr;
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* af = nullptr;
+  rc = 0;
+  do {
+    if (avformat_open_input(&in_fmt, tmp.c_str(), nullptr, nullptr) < 0 ||
+        avformat_find_stream_info(in_fmt, nullptr) < 0) { rc = -20; break; }
+    if (avformat_alloc_output_context2(&oc, nullptr, nullptr, path) < 0) {
+      rc = -21; break;
+    }
+    // copy the video stream
+    AVStream* vin = in_fmt->streams[0];
+    AVStream* vout = avformat_new_stream(oc, nullptr);
+    if (!vout || avcodec_parameters_copy(vout->codecpar, vin->codecpar) < 0) {
+      rc = -22; break;
+    }
+    vout->time_base = vin->time_base;
+    // aac audio stream
+    const AVCodec* acodec = avcodec_find_encoder(AV_CODEC_ID_AAC);
+    AVStream* aout = avformat_new_stream(oc, nullptr);
+    if (!acodec || !aout) { rc = -23; break; }
+    aenc = avcodec_alloc_context3(acodec);
+    av_channel_layout_default(&aenc->ch_layout, channels);
+    aenc->sample_rate = sample_rate;
+    aenc->sample_fmt = AV_SAMPLE_FMT_FLTP;
+    aenc->bit_rate = 128000;
+    aenc->time_base = AVRational{1, sample_rate};
+    if (oc->oformat->flags & AVFMT_GLOBALHEADER)
+      aenc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(aenc, acodec, nullptr) < 0) { rc = -24; break; }
+    if (avcodec_parameters_from_context(aout->codecpar, aenc) < 0) {
+      rc = -24; break;
+    }
+    aout->time_base = aenc->time_base;
+    if (!(oc->oformat->flags & AVFMT_NOFILE) &&
+        avio_open(&oc->pb, path, AVIO_FLAG_WRITE) < 0) { rc = -25; break; }
+    if (avformat_write_header(oc, nullptr) < 0) { rc = -25; break; }
+
+    // interleave: remux all video packets, then encoded audio (muxer
+    // interleaves by dts)
+    while (av_read_frame(in_fmt, pkt) >= 0) {
+      if (pkt->stream_index == 0) {
+        av_packet_rescale_ts(pkt, vin->time_base, vout->time_base);
+        pkt->stream_index = vout->index;
+        if (av_interleaved_write_frame(oc, pkt) < 0) { rc = -26; break; }
+      }
+      av_packet_unref(pkt);
+    }
+    if (rc) break;
+
+    // float32 interleaved -> planar frames of aenc->frame_size
+    AVChannelLayout in_layout;
+    av_channel_layout_default(&in_layout, channels);
+    if (swr_alloc_set_opts2(&swr, &aenc->ch_layout, AV_SAMPLE_FMT_FLTP,
+                            sample_rate, &in_layout, AV_SAMPLE_FMT_FLT,
+                            sample_rate, 0, nullptr) < 0 ||
+        swr_init(swr) < 0) { rc = -27; break; }
+    const int fsz = aenc->frame_size > 0 ? aenc->frame_size : 1024;
+    af = av_frame_alloc();
+    af->format = AV_SAMPLE_FMT_FLTP;
+    av_channel_layout_copy(&af->ch_layout, &aenc->ch_layout);
+    af->sample_rate = sample_rate;
+    long long pos = 0;
+    int64_t apts = 0;
+    auto drain_audio = [&](bool flush) -> int {
+      while (true) {
+        int r = avcodec_receive_packet(aenc, pkt);
+        if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return 0;
+        if (r < 0) return -28;
+        av_packet_rescale_ts(pkt, aenc->time_base, aout->time_base);
+        pkt->stream_index = aout->index;
+        if (av_interleaved_write_frame(oc, pkt) < 0) return -29;
+      }
+      (void)flush;
+    };
+    while (pos < n_samples && rc == 0) {
+      const int n = (int)((n_samples - pos) < fsz ? (n_samples - pos) : fsz);
+      af->nb_samples = n;
+      if (av_frame_get_buffer(af, 0) < 0) { rc = -27; break; }
+      const uint8_t* src[1] = {(const uint8_t*)(audio + pos * channels)};
+      if (swr_convert(swr, af->data, n, src, n) < 0) { rc = -27; break; }
+      af->pts = apts;
+      apts += n;
+      pos += n;
+      if (avcodec_send_frame(aenc, af) < 0) { rc = -28; break; }
+      rc = drain_audio(false);
+      av_frame_unref(af);
+      af->format = AV_SAMPLE_FMT_FLTP;
+      av_channel_layout_copy(&af->ch_layout, &aenc->ch_layout);
+      af->sample_rate = sample_rate;
+    }
+    if (rc == 0) {
+      avcodec_send_frame(aenc, nullptr);
+      rc = drain_audio(true);
+    }
+    if (rc == 0 && av_write_trailer(oc) < 0) rc = -29;
+  } while (false);
+
+  if (af) av_frame_free(&af);
+  if (pkt) av_packet_free(&pkt);
+  if (swr) swr_free(&swr);
+  if (aenc) avcodec_free_context(&aenc);
+  if (oc) {
+    if (oc->pb && !(oc->oformat->flags & AVFMT_NOFILE)) avio_closep(&oc->pb);
+    avformat_free_context(oc);
+  }
+  if (in_fmt) avformat_close_input(&in_fmt);
+  remove(tmp.c_str());
+  return rc;
+}
+
 // Decode the best audio stream to interleaved float32 (samples, channels),
 // resampled to its native rate (reference read_video returns aframes for
 // containers with audio; io/video.py:236).

@@ -369,10 +369,22 @@ def write_video(
         raise TypeError(f"video_array must be uint8, got {video.dtype}")
     if video.ndim != 4 or video.shape[-1] != 3:
         raise ValueError(f"video_array must be (T, H, W, 3), got {video.shape}")
-    if audio_array is not None:
-        raise RuntimeError("audio muxing is not implemented on this build")
     if video_codec == "npy" or filename.endswith(".npy"):
+        if audio_array is not None:
+            raise RuntimeError("the raw .npy layout cannot carry audio")
         np.save(filename, video)
+        return
+    if audio_array is not None:
+        # audio muxing (reference write_video audio path, io/video.py:48-129):
+        # AAC through the ffmpeg shim, any shim video codec
+        from . import _ffmpeg
+
+        if audio_fps is None:
+            raise ValueError("audio_fps (sample rate) is required with audio_array")
+        name = {"h264": "libx264", "hevc": "libx265"}.get(video_codec, video_codec)
+        crf = int((options or {}).get("crf", 23))
+        _ffmpeg.encode_video_av(filename, video, fps, np.asarray(audio_array),
+                                int(audio_fps), codec=name, crf=crf)
         return
     if video_codec in ("libx264", "h264", "mpeg4", "hevc", "libx265"):
         from . import _ffmpeg

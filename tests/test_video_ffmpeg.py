@@ -215,3 +215,36 @@ class TestVideoDatasetOverContainers:
         # clip content matches a straight decode of the same frames
         direct, _, _ = cvio.read_video(str(root / "juggling" / "v0.mp4"))
         np.testing.assert_array_equal(clip, direct[:4])
+
+
+class TestAudioMuxing:
+    """write_video(audio_array=...) muxes an AAC stream (reference
+    io/video.py:48-129 audio path)."""
+
+    def test_av_roundtrip(self, tmp_path, video):
+        rate = 16000
+        tone = 0.4 * np.sin(2 * np.pi * 440 * np.arange(rate // 2) / rate)
+        audio = tone[None, :].astype(np.float32)  # (C=1, L)
+        p = str(tmp_path / "av.mp4")
+        cvio.write_video(p, video, fps=10.0, video_codec="h264",
+                         audio_array=audio, audio_fps=rate)
+        v, a, info = cvio.read_video(p)
+        assert v.shape == video.shape
+        assert info["audio_fps"] == rate
+        assert a.shape[0] == 1 and a.shape[1] >= tone.size  # aac pads
+        # the tone frequency survives the lossy round trip
+        spec = np.abs(np.fft.rfft(a[0]))
+        peak_hz = np.argmax(spec) * rate / a.shape[1]
+        assert abs(peak_hz - 440) < 5
+
+    def test_audio_requires_rate(self, tmp_path, video):
+        with pytest.raises(ValueError, match="audio_fps"):
+            cvio.write_video(str(tmp_path / "x.mp4"), video, fps=10.0,
+                             video_codec="h264",
+                             audio_array=np.zeros((1, 100), np.float32))
+
+    def test_npy_cannot_carry_audio(self, tmp_path, video):
+        with pytest.raises(RuntimeError, match="npy"):
+            cvio.write_video(str(tmp_path / "x.npy"), video, fps=10.0,
+                             video_codec="npy",
+                             audio_array=np.zeros((1, 100), np.float32))
