@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -16,6 +17,61 @@ from ._api import register_model
 from .layers import PatchifyDense
 
 __all__ = ["VisionTransformer", "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32", "vit_h_14"]
+
+
+class _ProjParams(nn.Module):
+    """Parameter slot matching one of flax MHA's DenseGeneral projections
+    (kernel (D, H, hd) / bias (H, hd), or (H, hd, D) / (D,) for out)."""
+
+    kernel_shape: tuple
+    bias_shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.kernel_shape)
+        b = self.param("bias", nn.initializers.zeros, self.bias_shape)
+        return k, b
+
+
+class FusedMHA(nn.Module):
+    """Self-attention with a FUSED QKV projection: one (D -> 3D) matmul
+    instead of flax MHA's three separate DenseGenerals.  At ViT-B b256 the
+    three D=768 projections under-fill the MXU and triple the activation
+    HBM reads; the fused form runs one 2304-wide contraction.  Parameters
+    live in the exact slots flax ``MultiHeadDotProductAttention`` uses
+    (query/key/value/out with (D, H, hd) kernels), so weight converters and
+    checkpoints are unchanged.  Math identical to flax MHA (softmax(q k^T /
+    sqrt(hd)) v), verified to 1e-5 in tests/test_patchify_dense.py.
+    """
+
+    num_heads: int
+    dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        d = x.shape[-1]
+        nh = self.num_heads
+        hd = d // nh
+        qk, qb = _ProjParams((d, nh, hd), (nh, hd), name="query")()
+        kk, kb = _ProjParams((d, nh, hd), (nh, hd), name="key")()
+        vk, vb = _ProjParams((d, nh, hd), (nh, hd), name="value")()
+        ok, ob = _ProjParams((nh, hd, d), (d,), name="out")()
+
+        w_qkv = jnp.concatenate(
+            [qk.reshape(d, d), kk.reshape(d, d), vk.reshape(d, d)], axis=1
+        ).astype(self.dtype)
+        b_qkv = jnp.concatenate(
+            [qb.reshape(d), kb.reshape(d), vb.reshape(d)]).astype(self.dtype)
+        qkv = x.astype(self.dtype) @ w_qkv + b_qkv  # (N, S, 3D)
+        n, s, _ = qkv.shape
+        q, k, v = [a.reshape(n, s, nh, hd) for a in jnp.split(qkv, 3, axis=-1)]
+
+        scores = jnp.einsum("nqhd,nkhd->nhqk", q / jnp.sqrt(hd).astype(self.dtype), k)
+        weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        weights = nn.Dropout(self.dropout_rate, deterministic=deterministic)(weights)
+        o = jnp.einsum("nhqk,nkhd->nqhd", weights, v)
+        return o.reshape(n, s, d) @ ok.reshape(d, d).astype(self.dtype) + ob.astype(self.dtype)
 
 
 class EncoderBlock(nn.Module):
@@ -28,12 +84,13 @@ class EncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
-        h = nn.MultiHeadDotProductAttention(
+        # param-compatible fused-QKV attention (see FusedMHA docstring)
+        h = FusedMHA(
             num_heads=self.num_heads,
             dropout_rate=self.attention_dropout,
-            deterministic=not train,
             dtype=self.dtype,
-        )(h, h)
+            name="MultiHeadDotProductAttention_0",
+        )(h, deterministic=not train)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)

@@ -48,3 +48,31 @@ def test_indivisible_raises(rng):
     x = jnp.ones((1, 30, 32, 3), jnp.float32)
     with pytest.raises(ValueError, match="not divisible"):
         PatchifyDense(8, (16, 16)).init(jax.random.PRNGKey(0), x)
+
+
+class TestFusedMHA:
+    """FusedMHA (one QKV matmul) must equal flax MultiHeadDotProductAttention
+    on the same params — it occupies the identical param slots."""
+
+    def test_matches_flax_mha(self, rng):
+        from cpu_vision_tpu.models.vision_transformer import FusedMHA
+
+        d, nh, s, n = 64, 4, 17, 2
+        x = jnp.asarray(rng.standard_normal((n, s, d)), jnp.float32)
+        fused = FusedMHA(num_heads=nh)
+        variables = fused.init(jax.random.PRNGKey(0), x)
+        got = fused.apply(variables, x)
+
+        mha = nn.MultiHeadDotProductAttention(num_heads=nh, deterministic=True)
+        ref = mha.apply(variables, x, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def test_vit_param_tree_has_flax_mha_slots(self):
+        from cpu_vision_tpu import models
+
+        m = models.vit_b_32(num_classes=10)
+        v = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0),
+                                          jnp.ones((1, 64, 64, 3)), train=False))
+        attn = v["params"]["encoder_0"]["MultiHeadDotProductAttention_0"]
+        assert attn["query"]["kernel"].shape == (768, 12, 64)
+        assert attn["out"]["kernel"].shape == (12, 64, 768)
