@@ -73,13 +73,17 @@ class Int8ResNet:
     """See module docstring.  Built by :meth:`from_model`."""
 
     def __init__(self, convs: Dict[str, _ConvSpec], fc_kernel, fc_bias,
-                 topology: List[Tuple[str, List[str], bool]]):
+                 topology: List[Tuple[str, List[str], bool]],
+                 use_pallas: bool = False):
         self.convs = convs
         self.fc_kernel = jnp.asarray(fc_kernel, jnp.float32)
         self.fc_bias = jnp.asarray(fc_bias, jnp.float32)
         self.topology = topology  # [(block_name, conv_names, has_downsample)]
         self.scales: Optional[Dict[str, jax.Array]] = None
         self._amax: Dict[str, float] = {}
+        # route 1x1 convs through the Pallas requant-matmul kernel
+        # (ops/pallas/int8_matmul.py) — relu + requantise fused in VMEM
+        self.use_pallas = use_pallas
 
     # ------------------------------------------------------------ building
 
@@ -202,8 +206,14 @@ class Int8ResNet:
             q_in, s_in = q, s
             f = None
             for i, cname in enumerate(names):
-                f = self._conv(q, self.convs[cname], s, int8_mode)
-                if i < len(names) - 1:        # inner convs: relu + requant
+                spec = self.convs[cname]
+                inner = i < len(names) - 1
+                if int8_mode and inner and self._pallas_eligible(spec):
+                    q = self._pallas_conv1x1(q, spec, s, cname)
+                    s = self.scales[cname]
+                    continue
+                f = self._conv(q, spec, s, int8_mode)
+                if inner:                     # inner convs: relu + requant
                     f = jax.nn.relu(f)
                     q = self._requant(f, cname, int8_mode)
                     s = self._scale_of(cname, int8_mode)
@@ -226,6 +236,25 @@ class Int8ResNet:
             return acc.astype(jnp.float32) * (self.scales["fc"] * w_scale) + self.fc_bias
         self._requant(feat, "fc", int8_mode)
         return feat @ self.fc_kernel + self.fc_bias
+
+    def _pallas_eligible(self, spec: _ConvSpec) -> bool:
+        return (self.use_pallas and spec.qw.shape[0] == 1
+                and spec.qw.shape[1] == 1 and spec.stride == 1
+                and spec.pad == 0 and spec.groups == 1)
+
+    def _pallas_conv1x1(self, q, spec: _ConvSpec, in_scale, site: str):
+        """1x1 conv as the fused Pallas requant-matmul: int8 in, int8 out,
+        relu + requantisation in VMEM."""
+        from ..ops.pallas.int8_matmul import int8_matmul_requant
+
+        n, h, w, cin = q.shape
+        out = int8_matmul_requant(
+            q.reshape(-1, cin), spec.qw.reshape(cin, -1),
+            (in_scale * spec.w_scale).reshape(-1), spec.bias,
+            out_scale=self.scales[site], relu=True,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return out.reshape(n, h, w, -1)
 
     # ------------------------------------------------------------- public
 

@@ -83,3 +83,18 @@ def test_weight_memory_is_int8():
     for name, spec in eng.convs.items():
         assert spec.qw.dtype == jnp.int8, name
         assert spec.w_scale.dtype == jnp.float32
+
+
+def test_pallas_path_matches_xla_path(rng):
+    """use_pallas routes bottleneck 1x1 convs through the fused Pallas
+    requant-matmul; logits must match the XLA int8 graph to ~1 LSB of the
+    final requant."""
+    m = models.get_model("resnet50", num_classes=10)
+    x = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    v = _perturbed_init(m, x)
+    eng = Int8ResNet.from_model(m, v).calibrate([x])
+    ref = np.asarray(eng(x))
+    eng.use_pallas = True
+    got = np.asarray(eng(x))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.01, f"pallas vs xla int8 rel err {rel}"
