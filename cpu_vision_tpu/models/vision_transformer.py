@@ -67,11 +67,66 @@ class FusedMHA(nn.Module):
         n, s, _ = qkv.shape
         q, k, v = [a.reshape(n, s, nh, hd) for a in jnp.split(qkv, 3, axis=-1)]
 
-        scores = jnp.einsum("nqhd,nkhd->nhqk", q / jnp.sqrt(hd).astype(self.dtype), k)
-        weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        weights = nn.Dropout(self.dropout_rate, deterministic=deterministic)(weights)
-        o = jnp.einsum("nhqk,nkhd->nqhd", weights, v)
+        if deterministic or self.dropout_rate == 0.0:
+            # fused path: scores stay VMEM-resident (43% of ViT iteration
+            # time was the f32 softmax round-tripping HBM — see
+            # ops/pallas/flash_attention.py)
+            from ..ops.pallas.flash_attention import flash_mha
+
+            o = flash_mha(
+                q, k, v, 1.0 / float(hd) ** 0.5,
+                jax.default_backend() != "tpu",
+            ).transpose(0, 2, 1, 3)
+        else:
+            scores = jnp.einsum(
+                "nqhd,nkhd->nhqk", q / jnp.sqrt(hd).astype(self.dtype), k)
+            weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+            weights = nn.Dropout(self.dropout_rate, deterministic=deterministic)(weights)
+            o = jnp.einsum("nhqk,nkhd->nqhd", weights, v)
         return o.reshape(n, s, d) @ ok.reshape(d, d).astype(self.dtype) + ob.astype(self.dtype)
+
+
+class _LNParams(nn.Module):
+    """Parameter slot matching ``nn.LayerNorm`` (scale ones, bias zeros)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _DenseParams(nn.Module):
+    """Parameter slot matching ``nn.Dense`` (lecun_normal / zeros)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(), self.shape),
+                self.param("bias", nn.initializers.zeros, (self.shape[1],)))
+
+
+class _MHAParams(nn.Module):
+    """The four flax-MHA projection slots (query/key/value/out) as raw
+    arrays, for the fused attention kernel."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self):
+        d, nh = self.dim, self.heads
+        hd = d // nh
+        qk, qb = _ProjParams((d, nh, hd), (nh, hd), name="query")()
+        kk, kb = _ProjParams((d, nh, hd), (nh, hd), name="key")()
+        vk, vb = _ProjParams((d, nh, hd), (nh, hd), name="value")()
+        ok, ob = _ProjParams((nh, hd, d), (d,), name="out")()
+        w_qkv = jnp.concatenate(
+            [qk.reshape(d, d), kk.reshape(d, d), vk.reshape(d, d)], axis=1)
+        b_qkv = jnp.concatenate([qb.reshape(d), kb.reshape(d), vb.reshape(d)])
+        return w_qkv, b_qkv, ok.reshape(d, d), ob
 
 
 class EncoderBlock(nn.Module):
@@ -81,23 +136,78 @@ class EncoderBlock(nn.Module):
     attention_dropout: float
     dtype: Any = jnp.float32
 
+    def _mlp_fits_vmem(self, d: int) -> bool:
+        # both weight matrices must stay VMEM-resident (~16 MB/core) next
+        # to the streamed token/hidden tiles; ViT-B (9.4 MB bf16) fits,
+        # ViT-L/H do not
+        return 2 * d * self.mlp_dim * jnp.dtype(self.dtype).itemsize <= 10_000_000
+
+    def _attn_fits_vmem(self, d: int, s: int) -> bool:
+        # QKV + out weights, the (S, 3D) QKV product (f32 + cast), and the
+        # (S, S) score tile must co-reside in VMEM with the token blocks
+        it = jnp.dtype(self.dtype).itemsize
+        return 4 * d * d * it + s * 3 * d * (4 + it) + s * s * 4 <= 12_500_000
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
-        # param-compatible fused-QKV attention (see FusedMHA docstring)
-        h = FusedMHA(
-            num_heads=self.num_heads,
-            dropout_rate=self.attention_dropout,
-            dtype=self.dtype,
-            name="MultiHeadDotProductAttention_0",
-        )(h, deterministic=not train)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        x = x + h
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
-        h = nn.Dense(self.mlp_dim, dtype=self.dtype)(h)
+        n, s, d = x.shape
+        det = not train
+        attn_fusable = ((det or (self.attention_dropout == 0.0
+                                 and self.dropout == 0.0))
+                        and self._attn_fits_vmem(d, s))
+        if attn_fusable:
+            # whole attention sub-block (LN + QKV + MHA + out + residual)
+            # as one VMEM-resident kernel — kills the (N,S,H,hd) layout
+            # copies that cost 23% of ViT-B inference (see
+            # ops/pallas/transformer_block.py)
+            from ..ops.pallas.transformer_block import attention_block
+
+            g0, b0 = _LNParams(d, name="LayerNorm_0")()
+            w_qkv, b_qkv, w_o, b_o = _MHAParams(
+                d, self.num_heads, name="MultiHeadDotProductAttention_0")()
+            hd = d // self.num_heads
+            x = attention_block(
+                x, g0, b0, w_qkv.astype(self.dtype), b_qkv,
+                w_o.astype(self.dtype), b_o, self.num_heads,
+                1.0 / float(hd) ** 0.5, 1e-6,
+                jax.default_backend() != "tpu",
+            )
+        else:
+            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name="LayerNorm_0")(x)
+            # param-compatible fused-QKV attention (see FusedMHA docstring)
+            h = FusedMHA(
+                num_heads=self.num_heads,
+                dropout_rate=self.attention_dropout,
+                dtype=self.dtype,
+                name="MultiHeadDotProductAttention_0",
+            )(h, deterministic=det)
+            h = nn.Dropout(self.dropout, deterministic=det)(h)
+            x = x + h
+
+        drop_off = self.dropout == 0.0 or det
+        if drop_off and self._mlp_fits_vmem(d):
+            # one-kernel MLP sub-block: LN + both matmuls + gelu +
+            # residual, weights VMEM-resident (ops/pallas/transformer_block
+            # docstring has the trace evidence: XLA's own fusion of this
+            # sub-block recomputes the up-projection matmul)
+            g, b = _LNParams(d, name="LayerNorm_1")()
+            w1, b1 = _DenseParams((d, self.mlp_dim), name="Dense_0")()
+            w2, b2 = _DenseParams((self.mlp_dim, d), name="Dense_1")()
+            from ..ops.pallas.transformer_block import mlp_block
+
+            out = mlp_block(
+                x.reshape(n * s, d), g, b, w1.astype(self.dtype), b1,
+                w2.astype(self.dtype), b2, 1e-6, 256,
+                jax.default_backend() != "tpu",
+            )
+            return out.reshape(n, s, d)
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="LayerNorm_1")(x)
+        h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="Dense_0")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Dense(x.shape[-1], dtype=self.dtype)(h)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="Dense_1")(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return x + h
 

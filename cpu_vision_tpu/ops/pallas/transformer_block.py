@@ -1,0 +1,255 @@
+"""Fused transformer-MLP Pallas kernel: LN -> Dense -> gelu -> Dense -> +x.
+
+Why: at ViT-B b256 XLA builds one loop fusion per encoder layer holding
+Dense_0 + gelu + Dense_1 + the next LayerNorm's reduce, and its iteration
+over the output feature dim recomputes the Dense_0 matmul — the fusion
+runs at ~88% MXU duty cycle but does ~1.5x the necessary FLOPs (measured
+with tools/trace_report.py: 12 such fusions = 43% of ViT-B/16 inference).
+Breaking the fusion with an optimization_barrier trades the recompute for
+a (tokens, mlp_dim) HBM round trip and measures slower still.
+
+This kernel does the whole pre-LN MLP sub-block in one pass: both weight
+matrices stay VMEM-resident across the grid (ViT-B: 2 x 768x3072 bf16 =
+9.4 MB), token tiles stream through, and the LayerNorm statistics, gelu
+and residual add ride the VPU between the two MXU contractions.  HBM
+traffic per layer is exactly x in + out out — no intermediate, no
+recompute.
+
+Matmul shapes per tile are (Tm,768)@(768,3072) and (Tm,3072)@(3072,768):
+every dimension a multiple of 128 — perfect MXU tiling.
+
+Backward: custom_vjp recomputing from x with plain XLA einsums
+(flash-style rematerialisation; nothing saved but x and the params).
+
+Numerics match the unfused flax path: LN statistics and gelu in f32,
+matmul accumulation f32, weights applied in the compute dtype.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ["mlp_block", "attention_block"]
+
+
+def _erf_f32(x):
+    """Abramowitz-Stegun 7.1.26 rational approximation (|err| < 1.5e-7);
+    Mosaic has no erf lowering."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_f32(h):
+    # exact-erf gelu, matching nn.gelu(approximate=False) to ~1e-7
+    return 0.5 * h * (1.0 + _erf_f32(h * (1.0 / jnp.sqrt(2.0))))
+
+
+def _ln_f32(x, g, b, eps):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    c = x - m
+    v = jnp.mean(c * c, axis=-1, keepdims=True)
+    return c * jax.lax.rsqrt(v + eps) * g + b
+
+
+def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+            eps: float, dtype):
+    x32 = x_ref[...].astype(jnp.float32)
+    h = _ln_f32(x32, g_ref[...].astype(jnp.float32),
+                b_ref[...].astype(jnp.float32), eps).astype(dtype)
+    h = jax.lax.dot_general(h, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = _gelu_f32(h + b1_ref[...].astype(jnp.float32)).astype(dtype)
+    h = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[...] = (x32 + h + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret):
+    m, d = x.shape
+    dh = w1.shape[1]
+    mp = -(-m // block_m) * block_m
+    xp = jnp.pad(x, ((0, mp - m), (0, 0))) if mp != m else x
+    out = pl.pallas_call(
+        partial(_kernel, eps=eps, dtype=w1.dtype),
+        grid=(mp // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, dh), lambda i: (0, 0)),
+            pl.BlockSpec((1, dh), lambda i: (0, 0)),
+            pl.BlockSpec((dh, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((mp, d), x.dtype),
+        interpret=interpret,
+    )(xp, ln_g.reshape(1, d), ln_b.reshape(1, d), w1, b1.reshape(1, dh),
+      w2, b2.reshape(1, d))
+    return out[:m]
+
+
+def _ref_math(x, ln_g, ln_b, w1, b1, w2, b2, eps, dtype):
+    """The same math in plain XLA ops (used for the backward recompute)."""
+    x32 = x.astype(jnp.float32)
+    h = _ln_f32(x32, ln_g.astype(jnp.float32), ln_b.astype(jnp.float32),
+                eps).astype(dtype)
+    h = jnp.dot(h, w1, preferred_element_type=jnp.float32)
+    h = _gelu_f32(h + b1.astype(jnp.float32)).astype(dtype)
+    h = jnp.dot(h, w2, preferred_element_type=jnp.float32)
+    return (x32 + h + b2.astype(jnp.float32)).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# attention sub-block: LN -> QKV matmul -> per-head attention -> out -> +x
+# --------------------------------------------------------------------------
+#
+# Why one kernel: feeding a separate attention kernel requires
+# (N, S, H, hd) -> (N, H, S, hd) layout copies of q/k/v and back for the
+# output — traced at 24 ms/iter (23%) of ViT-B b256 inference.  Here the
+# grid runs over images, each program holds one image's tokens plus the
+# QKV/out weights in VMEM, and heads are walked by static lane-slicing of
+# the (S, 3D) QKV product, so no transpose ever exists in any memory
+# space.  Scores stay in VMEM f32 (the flash property), softmax on the
+# VPU, all matmuls on the MXU.
+
+
+def _attn_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                 o_ref, *, eps: float, heads: int, scale: float, dtype):
+    x32 = x_ref[0].astype(jnp.float32)            # (S, D)
+    h = _ln_f32(x32, g_ref[...].astype(jnp.float32),
+                b_ref[...].astype(jnp.float32), eps).astype(dtype)
+    qkv = jax.lax.dot_general(h, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(dtype)  # (S, 3D)
+    d = x_ref.shape[2]
+    hd = d // heads
+    outs = []
+    for i in range(heads):
+        q = qkv[:, i * hd:(i + 1) * hd]
+        k = qkv[:, d + i * hd:d + (i + 1) * hd]
+        v = qkv[:, 2 * d + i * hd:2 * d + (i + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(dtype)
+        outs.append(jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32))
+    o = jnp.concatenate(outs, axis=-1).astype(dtype)  # (S, D)
+    o = jax.lax.dot_general(o, wo_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = (x32 + o + bo_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _attn_fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, heads, scale,
+                     eps, interpret):
+    n, s, d = x.shape
+    return pl.pallas_call(
+        partial(_attn_kernel, eps=eps, heads=heads, scale=scale,
+                dtype=w_qkv.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * d), lambda i: (0, 0)),
+            pl.BlockSpec((d, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, s, d), x.dtype),
+        interpret=interpret,
+    )(x, ln_g.reshape(1, d), ln_b.reshape(1, d), w_qkv,
+      b_qkv.reshape(1, 3 * d), w_o, b_o.reshape(1, d))
+
+
+def _attn_ref_math(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, heads, scale, eps,
+                   dtype):
+    """Same math in plain XLA ops (backward recompute + test oracle)."""
+    n, s, d = x.shape
+    hd = d // heads
+    x32 = x.astype(jnp.float32)
+    h = _ln_f32(x32, ln_g.astype(jnp.float32), ln_b.astype(jnp.float32),
+                eps).astype(dtype)
+    qkv = (jnp.dot(h, w_qkv, preferred_element_type=jnp.float32)
+           + b_qkv.astype(jnp.float32)).astype(dtype)
+    q, k, v = [a.reshape(n, s, heads, hd) for a in jnp.split(qkv, 3, axis=-1)]
+    sc = jnp.einsum("nqhd,nkhd->nhqk", q, k,
+                    preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(sc, axis=-1).astype(dtype)
+    o = jnp.einsum("nhqk,nkhd->nqhd", p, v,
+                   preferred_element_type=jnp.float32)
+    o = o.reshape(n, s, d).astype(dtype)
+    o = jnp.dot(o, w_o, preferred_element_type=jnp.float32)
+    return (x32 + o + b_o.astype(jnp.float32)).astype(x.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def attention_block(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, heads: int,
+                    scale: float, eps: float = 1e-6,
+                    interpret: bool = False):
+    """``x + Out(MHA(LN(x)))`` for 3-D ``x`` (N, S, D), one VMEM-resident
+    kernel per image; ``w_qkv`` is (D, 3D) laid out [q | k | v] with each
+    section head-major, ``w_o`` is (D, D)."""
+    return _attn_fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, heads,
+                            scale, eps, interpret)
+
+
+def _attn_fwd(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, heads, scale, eps,
+              interpret):
+    out = _attn_fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, heads,
+                           scale, eps, interpret)
+    return out, (x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o)
+
+
+def _attn_bwd(heads, scale, eps, interpret, res, g):
+    x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o = res
+    grads = jax.grad(
+        lambda *a: jnp.sum(
+            _attn_ref_math(*a, heads, scale, eps, w_qkv.dtype)
+            .astype(jnp.float32) * g.astype(jnp.float32)),
+        argnums=tuple(range(7)),
+    )(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o)
+    return grads
+
+
+attention_block.defvjp(_attn_fwd, _attn_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def mlp_block(x, ln_g, ln_b, w1, b1, w2, b2, eps: float = 1e-6,
+              block_m: int = 512, interpret: bool = False):
+    """``x + Dense2(gelu(Dense1(LN(x))))`` for 2-D ``x`` (tokens, d).
+
+    ``w1``/``w2`` are the compute-dtype kernels ((d, dh) / (dh, d)); LN
+    params and biases may be f32.  ``eps``/``block_m``/``interpret`` are
+    static.
+    """
+    return _fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret)
+
+
+def _fwd(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret):
+    out = _fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret)
+    return out, (x, ln_g, ln_b, w1, b1, w2, b2)
+
+
+def _bwd(eps, block_m, interpret, res, g):
+    x, ln_g, ln_b, w1, b1, w2, b2 = res
+    grads = jax.grad(
+        lambda *a: jnp.sum(
+            _ref_math(*a, eps, w1.dtype).astype(jnp.float32) *
+            g.astype(jnp.float32)),
+        argnums=tuple(range(7)),
+    )(x, ln_g, ln_b, w1, b1, w2, b2)
+    return grads
+
+
+mlp_block.defvjp(_fwd, _bwd)

@@ -79,8 +79,10 @@ def workload_r50_infer():
     m, v = _r50()
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((256, 224, 224, 3), dtype=np.float32)).astype(jnp.bfloat16)
-    f = jax.jit(lambda t: m.apply(v, t, train=False))
-    return (lambda s: (s, f(x))), None
+    # weights ride as jit ARGUMENTS — closing over them embeds them as
+    # program constants and overflows the axon relay's compile-payload limit
+    f = jax.jit(lambda v, t: m.apply(v, t, train=False))
+    return (lambda s: (s, f(v, x))), None
 
 
 def workload_vit_infer():
@@ -90,8 +92,8 @@ def workload_vit_infer():
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((256, 224, 224, 3), dtype=np.float32)).astype(jnp.bfloat16)
-    f = jax.jit(lambda t: m.apply(v, t, train=False))
-    return (lambda s: (s, f(x))), None
+    f = jax.jit(lambda v, t: m.apply(v, t, train=False))
+    return (lambda s: (s, f(v, x))), None
 
 
 def workload_int8_e2e():
