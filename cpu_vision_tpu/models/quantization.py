@@ -439,7 +439,10 @@ def fold_batchnorm(model, variables, *example_args, eps: float = 1e-5, **kwargs)
         bn_p["bias"] = shift.astype(jnp.asarray(bn_p["bias"]).dtype)
         bn_s["mean"] = jnp.zeros_like(mean)
         bn_s["var"] = jnp.ones_like(var) - eps
-    return folded
+    # re-materialise on device: the device_get copy above leaves numpy
+    # leaves in the tree, and passing those to a jitted function re-uploads
+    # every weight on every call (measured 7x slower through the relay)
+    return jax.tree.map(jnp.asarray, folded)
 
 
 def _deep_dict(d):
