@@ -172,12 +172,40 @@ class SwinBlock(nn.Module):
         if self.v2:
             y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
         x = res + StochasticDepth(self.sd_prob, "row")(y, train)
-        y = x if self.v2 else nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(y)
+
+        dh = int(self.dim * self.mlp_ratio)
+        it = jnp.dtype(self.dtype).itemsize
+        fusable = ((not train or self.sd_prob == 0.0) and c % 128 == 0
+                   and (2 * c * dh * it <= 10_000_000 or dh % 256 == 0))
+        if fusable:
+            # fused MLP sub-block (ops/pallas/transformer_block.py):
+            # LN + both matmuls + gelu + residual in one VMEM-resident
+            # kernel; post_norm handles the v2 (post-norm) variant.
+            # Param slots match the module path (LayerNorm_1/Dense_0/
+            # Dense_1, flax auto-name order).
+            from ..ops.pallas.transformer_block import mlp_block
+            from .vision_transformer import _DenseParams, _LNParams
+
+            g, b = _LNParams(c, name="LayerNorm_1")()
+            w1, b1 = _DenseParams((c, dh), name="Dense_0")()
+            w2, b2 = _DenseParams((dh, c), name="Dense_1")()
+            out = mlp_block(
+                x.reshape(-1, c), g, b, w1.astype(self.dtype), b1,
+                w2.astype(self.dtype), b2, 1e-5, 256,
+                jax.default_backend() != "tpu", self.v2,
+            )
+            return out.reshape(x.shape)
+
+        y = x if self.v2 else nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, name="LayerNorm_1")(x)
+        y = nn.Dense(dh, dtype=self.dtype, name="Dense_0")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, dtype=self.dtype)(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="Dense_1")(y)
         if self.v2:
-            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
+            # v2's only LN in this sub-block — same LayerNorm_1 slot the
+            # v1 pre-norm (and the fused path) uses
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name="LayerNorm_1")(y)
         return x + StochasticDepth(self.sd_prob, "row")(y, train)
 
 

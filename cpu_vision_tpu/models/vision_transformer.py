@@ -137,10 +137,10 @@ class EncoderBlock(nn.Module):
     dtype: Any = jnp.float32
 
     def _mlp_fits_vmem(self, d: int) -> bool:
-        # both weight matrices must stay VMEM-resident (~16 MB/core) next
-        # to the streamed token/hidden tiles; ViT-B (9.4 MB bf16) fits,
-        # ViT-L/H do not
-        return 2 * d * self.mlp_dim * jnp.dtype(self.dtype).itemsize <= 10_000_000
+        # the kernel streams the hidden dim in blocks (transformer_block.py
+        # _pick_block_dh), so it only needs aligned dims: lanes for d,
+        # a 256-multiple for the hidden blocking
+        return d % 128 == 0 and self.mlp_dim % 256 == 0
 
     def _attn_fits_vmem(self, d: int, s: int) -> bool:
         # QKV + out weights, the (S, 3D) QKV product (f32 + cast), and the

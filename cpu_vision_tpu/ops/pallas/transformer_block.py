@@ -59,53 +59,101 @@ def _ln_f32(x, g, b, eps):
     return c * jax.lax.rsqrt(v + eps) * g + b
 
 
-def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
-            eps: float, dtype):
+def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+            acc_ref, *, eps: float, dtype, post_norm: bool):
+    # grid is (m_tiles, dh_tiles) with the hidden dim innermost: each j
+    # computes a partial down-projection into the f32 VMEM accumulator, so
+    # models whose full (d, dh) weights exceed VMEM (ViT-L/H) stream the
+    # hidden dim in blocks while x/out ride HBM exactly once.
+    # post_norm (Swin v2): LN moves from the input to the branch output.
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
     x32 = x_ref[...].astype(jnp.float32)
-    h = _ln_f32(x32, g_ref[...].astype(jnp.float32),
-                b_ref[...].astype(jnp.float32), eps).astype(dtype)
-    h = jax.lax.dot_general(h, w1_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    h = _gelu_f32(h + b1_ref[...].astype(jnp.float32)).astype(dtype)
-    h = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    o_ref[...] = (x32 + h + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+    g32 = g_ref[...].astype(jnp.float32)
+    b32 = b_ref[...].astype(jnp.float32)
+    if post_norm:
+        h = x32.astype(dtype)
+    else:
+        h = _ln_f32(x32, g32, b32, eps).astype(dtype)
+    hj = jax.lax.dot_general(h, w1_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    hj = _gelu_f32(hj + b1_ref[...].astype(jnp.float32)).astype(dtype)
+    pj = jax.lax.dot_general(hj, w2_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = pj + b2_ref[...].astype(jnp.float32)
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + pj
+
+    @pl.when(j == nj - 1)
+    def _():
+        branch = acc_ref[...]
+        if post_norm:
+            branch = _ln_f32(branch, g32, b32, eps)
+        o_ref[...] = (x32 + branch).astype(o_ref.dtype)
 
 
-def _fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret):
+def _pick_block_dh(d, dh, itemsize):
+    """Hidden-dim block: the whole dh when both weights fit VMEM as
+    resident (constant index_map — single-buffered); otherwise the largest
+    256-multiple divisor whose revisited (hence DOUBLE-buffered) w1/w2
+    block pairs fit."""
+    if 2 * d * dh * itemsize <= 10_000_000:
+        return dh
+    cap = max(256, 10_000_000 // (4 * d * itemsize) // 256 * 256)
+    b = min(dh, cap)
+    while dh % b:
+        b -= 256
+    return max(b, 256)
+
+
+def _fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret,
+                post_norm=False):
+    from jax.experimental.pallas import tpu as pltpu
+
     m, d = x.shape
     dh = w1.shape[1]
+    bdh = _pick_block_dh(d, dh, jnp.dtype(w1.dtype).itemsize)
     mp = -(-m // block_m) * block_m
     xp = jnp.pad(x, ((0, mp - m), (0, 0))) if mp != m else x
     out = pl.pallas_call(
-        partial(_kernel, eps=eps, dtype=w1.dtype),
-        grid=(mp // block_m,),
+        partial(_kernel, eps=eps, dtype=w1.dtype, post_norm=post_norm),
+        grid=(mp // block_m, dh // bdh),
         in_specs=[
-            pl.BlockSpec((block_m, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, d), lambda i: (0, 0)),
-            pl.BlockSpec((1, d), lambda i: (0, 0)),
-            pl.BlockSpec((d, dh), lambda i: (0, 0)),
-            pl.BlockSpec((1, dh), lambda i: (0, 0)),
-            pl.BlockSpec((dh, d), lambda i: (0, 0)),
-            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((d, bdh), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bdh), lambda i, j: (0, j)),
+            pl.BlockSpec((bdh, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((mp, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, d), jnp.float32)],
         interpret=interpret,
     )(xp, ln_g.reshape(1, d), ln_b.reshape(1, d), w1, b1.reshape(1, dh),
       w2, b2.reshape(1, d))
     return out[:m]
 
 
-def _ref_math(x, ln_g, ln_b, w1, b1, w2, b2, eps, dtype):
+def _ref_math(x, ln_g, ln_b, w1, b1, w2, b2, eps, dtype, post_norm=False):
     """The same math in plain XLA ops (used for the backward recompute)."""
     x32 = x.astype(jnp.float32)
-    h = _ln_f32(x32, ln_g.astype(jnp.float32), ln_b.astype(jnp.float32),
-                eps).astype(dtype)
+    g32, bb32 = ln_g.astype(jnp.float32), ln_b.astype(jnp.float32)
+    h = x32.astype(dtype) if post_norm else _ln_f32(x32, g32, bb32,
+                                                    eps).astype(dtype)
     h = jnp.dot(h, w1, preferred_element_type=jnp.float32)
     h = _gelu_f32(h + b1.astype(jnp.float32)).astype(dtype)
     h = jnp.dot(h, w2, preferred_element_type=jnp.float32)
-    return (x32 + h + b2.astype(jnp.float32)).astype(x.dtype)
+    h = h + b2.astype(jnp.float32)
+    if post_norm:
+        h = _ln_f32(h, g32, bb32, eps)
+    return (x32 + h).astype(x.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -224,28 +272,32 @@ def _attn_bwd(heads, scale, eps, interpret, res, g):
 attention_block.defvjp(_attn_fwd, _attn_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def mlp_block(x, ln_g, ln_b, w1, b1, w2, b2, eps: float = 1e-6,
-              block_m: int = 512, interpret: bool = False):
-    """``x + Dense2(gelu(Dense1(LN(x))))`` for 2-D ``x`` (tokens, d).
+              block_m: int = 512, interpret: bool = False,
+              post_norm: bool = False):
+    """``x + Dense2(gelu(Dense1(LN(x))))`` for 2-D ``x`` (tokens, d) —
+    or, with ``post_norm=True`` (Swin v2), ``x + LN(Dense2(gelu(Dense1(x))))``.
 
     ``w1``/``w2`` are the compute-dtype kernels ((d, dh) / (dh, d)); LN
-    params and biases may be f32.  ``eps``/``block_m``/``interpret`` are
-    static.
+    params and biases may be f32.  ``eps``/``block_m``/``interpret``/
+    ``post_norm`` are static.
     """
-    return _fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret)
+    return _fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m,
+                       interpret, post_norm)
 
 
-def _fwd(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret):
-    out = _fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret)
+def _fwd(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret, post_norm):
+    out = _fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m,
+                      interpret, post_norm)
     return out, (x, ln_g, ln_b, w1, b1, w2, b2)
 
 
-def _bwd(eps, block_m, interpret, res, g):
+def _bwd(eps, block_m, interpret, post_norm, res, g):
     x, ln_g, ln_b, w1, b1, w2, b2 = res
     grads = jax.grad(
         lambda *a: jnp.sum(
-            _ref_math(*a, eps, w1.dtype).astype(jnp.float32) *
+            _ref_math(*a, eps, w1.dtype, post_norm).astype(jnp.float32) *
             g.astype(jnp.float32)),
         argnums=tuple(range(7)),
     )(x, ln_g, ln_b, w1, b1, w2, b2)
