@@ -167,8 +167,12 @@ class Int8ResNet:
         """int8 mode: quantise f to the site's static scale.  calibrate
         mode: record amax, pass f through."""
         if int8_mode:
-            s = self.scales[site]
-            return jnp.clip(jnp.round(f / s), -127, 127).astype(jnp.int8)
+            # multiply by the reciprocal, NOT divide: the Pallas epilogue
+            # (ops/pallas/int8_matmul.py) requantises as round(f * (1/s)),
+            # and f/s vs f*(1/s) differ by 1 ULP near rounding halves —
+            # enough to flip LSBs that compound across requant boundaries.
+            inv = 1.0 / self.scales[site]
+            return jnp.clip(jnp.round(f * inv), -127, 127).astype(jnp.int8)
         self._amax[site] = max(self._amax.get(site, 0.0),
                                float(jnp.max(jnp.abs(f))))
         return f
@@ -217,12 +221,26 @@ class Int8ResNet:
                     f = jax.nn.relu(f)
                     q = self._requant(f, cname, int8_mode)
                     s = self._scale_of(cname, int8_mode)
-            # residual: identity in f32 via its scale (elementwise, fused)
+            # residual: each branch requantises to its own s8 scale first
+            # (TFLite-style int8-domain add), so the block-final conv's
+            # s32 accumulator fuses into a clamp/convert epilogue instead of
+            # riding HBM as s32 — at layer1 that tensor is 822 MB vs 205 MB
+            # s8, and the trace showed the s32 round trip as the top non-conv
+            # cost.  The add kernel reads two s8 tensors, rescales, relus and
+            # requantises in one elementwise pass.
+            qm = self._requant(f, f"{name}/main", int8_mode)
+            sm = self._scale_of(f"{name}/main", int8_mode)
             if has_down:
                 ident = self._conv(q_in, self.convs[f"{name}/down"], s_in, int8_mode)
+                qd = self._requant(ident, f"{name}/ds", int8_mode)
+                sd = self._scale_of(f"{name}/ds", int8_mode)
             else:
-                ident = q_in.astype(jnp.float32) * s_in if int8_mode else q_in
-            f = jax.nn.relu(f + ident)
+                qd, sd = q_in, s_in
+            if int8_mode:
+                f = qm.astype(jnp.float32) * sm + qd.astype(jnp.float32) * sd
+            else:
+                f = qm + qd
+            f = jax.nn.relu(f)
             q = self._requant(f, name, int8_mode)
             s = self._scale_of(name, int8_mode)
 
