@@ -208,19 +208,21 @@ class Int8ResNet:
 
         for name, names, has_down in self.topology:
             q_in, s_in = q, s
-            f = None
             for i, cname in enumerate(names):
                 spec = self.convs[cname]
                 inner = i < len(names) - 1
-                if int8_mode and inner and self._pallas_eligible(spec):
-                    q = self._pallas_conv1x1(q, spec, s, cname)
-                    s = self.scales[cname]
+                # block-final conv requantises straight to the residual-add
+                # scale (no relu — relu comes after the add)
+                site = cname if inner else f"{name}/main"
+                if int8_mode and self._pallas_eligible(spec):
+                    q = self._pallas_conv1x1(q, spec, s, site, relu=inner)
+                    s = self.scales[site]
                     continue
                 f = self._conv(q, spec, s, int8_mode)
-                if inner:                     # inner convs: relu + requant
+                if inner:
                     f = jax.nn.relu(f)
-                    q = self._requant(f, cname, int8_mode)
-                    s = self._scale_of(cname, int8_mode)
+                q = self._requant(f, site, int8_mode)
+                s = self._scale_of(site, int8_mode)
             # residual: each branch requantises to its own s8 scale first
             # (TFLite-style int8-domain add), so the block-final conv's
             # s32 accumulator fuses into a clamp/convert epilogue instead of
@@ -228,11 +230,15 @@ class Int8ResNet:
             # s8, and the trace showed the s32 round trip as the top non-conv
             # cost.  The add kernel reads two s8 tensors, rescales, relus and
             # requantises in one elementwise pass.
-            qm = self._requant(f, f"{name}/main", int8_mode)
-            sm = self._scale_of(f"{name}/main", int8_mode)
+            qm, sm = q, s
             if has_down:
-                ident = self._conv(q_in, self.convs[f"{name}/down"], s_in, int8_mode)
-                qd = self._requant(ident, f"{name}/ds", int8_mode)
+                dspec = self.convs[f"{name}/down"]
+                if int8_mode and self._pallas_eligible(dspec):
+                    qd = self._pallas_conv1x1(q_in, dspec, s_in, f"{name}/ds",
+                                              relu=False)
+                else:
+                    ident = self._conv(q_in, dspec, s_in, int8_mode)
+                    qd = self._requant(ident, f"{name}/ds", int8_mode)
                 sd = self._scale_of(f"{name}/ds", int8_mode)
             else:
                 qd, sd = q_in, s_in
@@ -256,20 +262,24 @@ class Int8ResNet:
         return feat @ self.fc_kernel + self.fc_bias
 
     def _pallas_eligible(self, spec: _ConvSpec) -> bool:
+        # any 1x1 pad-0 conv: stride-s is exact as a spatial slice + matmul
         return (self.use_pallas and spec.qw.shape[0] == 1
-                and spec.qw.shape[1] == 1 and spec.stride == 1
-                and spec.pad == 0 and spec.groups == 1)
+                and spec.qw.shape[1] == 1 and spec.pad == 0
+                and spec.groups == 1)
 
-    def _pallas_conv1x1(self, q, spec: _ConvSpec, in_scale, site: str):
+    def _pallas_conv1x1(self, q, spec: _ConvSpec, in_scale, site: str,
+                        relu: bool):
         """1x1 conv as the fused Pallas requant-matmul: int8 in, int8 out,
-        relu + requantisation in VMEM."""
+        (relu +) requantisation in VMEM.  stride-s = spatial slice first."""
         from ..ops.pallas.int8_matmul import int8_matmul_requant
 
+        if spec.stride > 1:
+            q = q[:, ::spec.stride, ::spec.stride, :]
         n, h, w, cin = q.shape
         out = int8_matmul_requant(
             q.reshape(-1, cin), spec.qw.reshape(cin, -1),
             (in_scale * spec.w_scale).reshape(-1), spec.bias,
-            out_scale=self.scales[site], relu=True,
+            out_scale=self.scales[site], relu=relu,
             interpret=jax.default_backend() != "tpu",
         )
         return out.reshape(n, h, w, -1)
