@@ -348,9 +348,17 @@ def main():
             "on-chip: explicit dot_general wgrad 3.2 ms (slower), K-split batched\n"
             "dot G=4/8/16/32 = 2.1-3.0 ms (no MXU-level batch parallelism).\n"
             "Earlier levers (donation, batch 256/512, scoped-vmem, latency-hiding\n"
-            "scheduler) all flat or negative. ~31% is the XLA plateau for this\n"
-            "step shape on v5e; the residual headroom is a per-shape Pallas wgrad\n"
-            "engine worth ~5-8 ms/step at heroic effort.\n")
+            "scheduler) all flat or negative. A per-shape Pallas wgrad engine was\n"
+            "then built and measured (ops/pallas/wgrad_matmul.py, ops/pointwise.py):\n"
+            "standalone it runs 0.9-1.3x XLA's dot per shape (both ~1.5-2.4 ms --\n"
+            "the 0.55 ms floor estimate was wrong: streaming K through 2 half-\n"
+            "filled output tiles is itself the bound), but wired into the step it\n"
+            "LOSES 24 ms (76.6 vs 52.8 ms: pallas_call forces lane-padding copies\n"
+            "of the 64-channel layer1 activations and breaks backward fusion),\n"
+            "and a custom-vjp with XLA's own dot exactly matches stock conv\n"
+            "backward (2415 vs 2423 img/s). Two independent reformulations\n"
+            "landing on the same number confirms ~31% is the structural plateau\n"
+            "for this step shape on v5e.\n")
 
 
 if __name__ == "__main__":

@@ -61,14 +61,23 @@ def wgrad_matmul(
 
     Zero-padding M to the tile size is exact (zero rows add nothing);
     lane dims (Cin, Cout) are padded to 128 and cropped on return.
+    ``block_m`` is shrunk as needed so double-buffered input tiles plus
+    the resident accumulator stay inside the ~16 MB VMEM budget.
     """
     m, cin = x.shape
     m2, cout = dy.shape
     assert m == m2, (x.shape, dy.shape)
 
+    cin_p = -(-cin // 128) * 128
+    cout_p = -(-cout // 128) * 128
+    acc_bytes = cin_p * cout_p * 4
+    esz = max(x.dtype.itemsize, dy.dtype.itemsize)
+    while block_m > 256 and (
+            2 * block_m * (cin_p + cout_p) * esz + acc_bytes > 12 * 2**20):
+        block_m //= 2
+
     x_p = _pad_axis(_pad_axis(x, 128, 1), block_m, 0)
     dy_p = _pad_axis(_pad_axis(dy, 128, 1), block_m, 0)
-    cin_p, cout_p = x_p.shape[1], dy_p.shape[1]
 
     out = pl.pallas_call(
         _kernel,
