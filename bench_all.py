@@ -290,6 +290,21 @@ def main():
     rele = float(np.linalg.norm(lo_e8 - lo_f) / max(np.linalg.norm(lo_f), 1e-9)) * 100
     rows.append(emit("int8_e2e_logit_rel_err", rele, "%"))
 
+    # 6g. full int8 ViT engine: activations quantised inside the fused
+    # Pallas transformer kernels (post-LN / post-gelu sites), weights
+    # per-channel int8 — the transformer twin of 6f
+    # (models/quantization_vit.py + ops/pallas/int8_transformer.py).
+    from cpu_vision_tpu.models.quantization_vit import Int8ViT
+
+    veng = Int8ViT.from_model(vit, vvars).calibrate([x[:8]])
+    fve8 = jax.jit(veng)
+    dtve8 = bench(fve8, x, iters=10)
+    rows.append(emit("vit_b16_infer_b256_int8_e2e", 256 / dtve8, "img/s"))
+    lo_vf = np.asarray(fv(vvars, x[:64])).astype(np.float32)
+    lo_v8 = np.asarray(fve8(x[:64])).astype(np.float32)
+    relv = float(np.linalg.norm(lo_v8 - lo_vf) / max(np.linalg.norm(lo_vf), 1e-9)) * 100
+    rows.append(emit("vit_int8_e2e_logit_rel_err", relv, "%"))
+
     import optax
 
     tx = optax.sgd(0.1, momentum=0.9)

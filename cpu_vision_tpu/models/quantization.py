@@ -514,7 +514,12 @@ def _register_quantized_builders():
     """Register the reference's 12 ``quantized_*`` names (reference
     ``models/quantization/{googlenet,inception,mobilenetv2,mobilenetv3,
     resnet,shufflenetv2}.py``), each carrying its ``*_QuantizedWeights``
-    enum so ``get_model_weights("quantized_resnet18")`` resolves."""
+    enum so ``get_model_weights("quantized_resnet18")`` resolves.
+
+    Beyond parity, the ViT family is registered too (the reference's
+    quantization zoo is CNN-only): ``quantized_vit_{b,l}_{16,32}`` — the
+    fused-kernel execution path for these is
+    ``quantization_vit.Int8ViT.from_model(m.model, variables)``."""
     from ._api import get_model_builder, register_model
 
     enums = _make_quantized_weight_enums()
@@ -522,7 +527,8 @@ def _register_quantized_builders():
                  "mobilenet_v3_large", "resnet18", "resnet50",
                  "resnext101_32x8d", "resnext101_64x4d",
                  "shufflenet_v2_x0_5", "shufflenet_v2_x1_0",
-                 "shufflenet_v2_x1_5", "shufflenet_v2_x2_0"):
+                 "shufflenet_v2_x1_5", "shufflenet_v2_x2_0",
+                 "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32"):
         def make(base=base):
             def builder(**kwargs):
                 return QuantizableModel(get_model_builder(base)(**kwargs))
@@ -531,7 +537,8 @@ def _register_quantized_builders():
             return builder
 
         fn = make()
-        fn.weights_enum = enums[base]
+        if base in enums:
+            fn.weights_enum = enums[base]
         register_model(f"quantized_{base}")(fn)
 
 

@@ -70,6 +70,12 @@ class _Layer:
         # float copies for the calibration/oracle pass
         self.w_qkv, self.w_o, self.w1, self.w2 = w_qkv, w_o, w1, w2
 
+    def floats(self) -> Dict:
+        return {"g0": self.g0, "b0": self.b0, "w_qkv": self.w_qkv,
+                "b_qkv": self.b_qkv, "w_o": self.w_o, "b_o": self.b_o,
+                "g1": self.g1, "b1ln": self.b1ln, "w1": self.w1,
+                "b1": self.b1, "w2": self.w2, "b2": self.b2}
+
 
 class Int8ViT:
     """See module docstring.  Built by :meth:`from_model`."""
@@ -89,7 +95,7 @@ class Int8ViT:
         self.ln_f = params["LayerNorm_0"]
         self.head = params["Dense_0"]
         self.scales: Dict[str, jax.Array] | None = None
-        self._amax: Dict[str, float] = {}
+        self._sites: Dict[str, jax.Array] = {}
 
     @staticmethod
     def from_model(model, variables) -> "Int8ViT":
@@ -98,8 +104,11 @@ class Int8ViT:
     # -------------------------------------------------------- shared graph
 
     def _record(self, f32, site: str):
-        self._amax[site] = max(self._amax.get(site, 0.0),
-                               float(jnp.max(jnp.abs(f32))))
+        # functional amax collection: sites are gathered into a dict returned
+        # from the (jittable) float graph, so calibration is ONE compiled
+        # program per batch shape instead of an eager op stream with a host
+        # readback per site (48 relay round-trips for ViT-B).
+        self._sites[site] = jnp.max(jnp.abs(f32))
 
     def _embed(self, x: jax.Array) -> jax.Array:
         n = x.shape[0]
@@ -116,18 +125,22 @@ class Int8ViT:
                                              x.astype(jnp.float32))
         return nn.Dense(self.num_classes).apply({"params": self.head}, x[:, 0])
 
-    def _layer_float(self, x, ly: _Layer, i: int):
+    def _layer_float(self, x, fp: Dict[str, jax.Array], i: int):
         """Float twin of the int8 kernels (calibration + oracle); matmuls in
-        bf16 like the bf16 fused path, sites recorded in f32."""
+        bf16 like the bf16 fused path, sites recorded in f32.  ``fp`` is a
+        plain dict of this layer's float params (``_Layer.floats()``) so the
+        jitted calibration graph takes the ~350 MB of weights as *arguments*
+        rather than baked-in HLO constants (which overflow the remote-compile
+        relay's request size limit)."""
         n, s, d = x.shape
         hd = d // self.heads
         x32 = x.astype(jnp.float32)
-        h32 = _ln_f32(x32, ly.g0, ly.b0, 1e-6)
+        h32 = _ln_f32(x32, fp["g0"], fp["b0"], 1e-6)
         self._record(h32, f"L{i}/attn_in")
         qkv = (jnp.dot(h32.reshape(-1, d).astype(jnp.bfloat16),
-                       ly.w_qkv.astype(jnp.bfloat16),
+                       fp["w_qkv"].astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-               + ly.b_qkv).reshape(n, s, 3 * d).astype(jnp.bfloat16)
+               + fp["b_qkv"]).reshape(n, s, 3 * d).astype(jnp.bfloat16)
         q, k, v = [a.reshape(n, s, self.heads, hd)
                    for a in jnp.split(qkv, 3, axis=-1)]
         sc = jnp.einsum("nqhd,nkhd->nhqk", q, k,
@@ -137,19 +150,19 @@ class Int8ViT:
                        preferred_element_type=jnp.float32).reshape(n, s, d)
         self._record(o, f"L{i}/attn_out")
         x32 = x32 + (jnp.dot(o.reshape(-1, d).astype(jnp.bfloat16),
-                             ly.w_o.astype(jnp.bfloat16),
+                             fp["w_o"].astype(jnp.bfloat16),
                              preferred_element_type=jnp.float32)
-                     + ly.b_o).reshape(n, s, d)
-        h32 = _ln_f32(x32, ly.g1, ly.b1ln, 1e-6)
+                     + fp["b_o"]).reshape(n, s, d)
+        h32 = _ln_f32(x32, fp["g1"], fp["b1ln"], 1e-6)
         self._record(h32, f"L{i}/mlp_in")
         f = _gelu_f32(jnp.dot(h32.reshape(-1, d).astype(jnp.bfloat16),
-                              ly.w1.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32) + ly.b1)
+                              fp["w1"].astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32) + fp["b1"])
         self._record(f, f"L{i}/mlp_gelu")
         x32 = x32 + (jnp.dot(f.astype(jnp.bfloat16),
-                             ly.w2.astype(jnp.bfloat16),
+                             fp["w2"].astype(jnp.bfloat16),
                              preferred_element_type=jnp.float32)
-                     + ly.b2).reshape(n, s, d)
+                     + fp["b2"]).reshape(n, s, d)
         return x32.astype(jnp.bfloat16)
 
     def _layer_int8(self, x, ly: _Layer, i: int, interpret: bool):
@@ -169,18 +182,26 @@ class Int8ViT:
     # ------------------------------------------------------------- public
 
     def calibrate(self, batches: Sequence[jax.Array]) -> "Int8ViT":
-        self._amax = {}
+        amax: Dict[str, float] = {}
+        fp = jax.jit(lambda flt, b: self._float_graph(flt, b)[1])
+        flt = [ly.floats() for ly in self.layers]
         for b in batches:
-            self.float_reference(jnp.asarray(b))
+            sites = jax.device_get(fp(flt, jnp.asarray(b)))
+            for k, v in sites.items():
+                amax[k] = max(amax.get(k, 0.0), float(v))
         self.scales = {k: jnp.float32(max(v, 1e-8) / 127.0)
-                       for k, v in self._amax.items()}
+                       for k, v in amax.items()}
         return self
 
-    def float_reference(self, x: jax.Array) -> jax.Array:
+    def _float_graph(self, flt: List[Dict], x: jax.Array):
+        self._sites = {}
         x = self._embed(x)
-        for i, ly in enumerate(self.layers):
-            x = self._layer_float(x, ly, i)
-        return self._classify(x)
+        for i, fp in enumerate(flt):
+            x = self._layer_float(x, fp, i)
+        return self._classify(x), dict(self._sites)
+
+    def float_reference(self, x: jax.Array) -> jax.Array:
+        return self._float_graph([ly.floats() for ly in self.layers], x)[0]
 
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.scales is None:

@@ -105,6 +105,17 @@ def test_uncalibrated_raises(rng):
         eng(x)
 
 
+def test_quantized_vit_builders_registered():
+    from cpu_vision_tpu import models
+    from cpu_vision_tpu.models.quantization import QuantizableModel
+    for n in ("quantized_vit_b_16", "quantized_vit_b_32",
+              "quantized_vit_l_16", "quantized_vit_l_32"):
+        assert n in models.list_models()
+        m = models.get_model(n, num_classes=10)
+        assert isinstance(m, QuantizableModel)
+        assert isinstance(m.model, VisionTransformer)
+
+
 def test_weights_are_int8(rng):
     m, v, _ = _tiny(rng)
     eng = Int8ViT.from_model(m, v)
