@@ -80,7 +80,7 @@ class Int8ResNet:
         self.fc_bias = jnp.asarray(fc_bias, jnp.float32)
         self.topology = topology  # [(block_name, conv_names, has_downsample)]
         self.scales: Optional[Dict[str, jax.Array]] = None
-        self._amax: Dict[str, float] = {}
+        self._sites: Dict[str, jax.Array] = {}
         # route 1x1 convs through the Pallas requant-matmul kernel
         # (ops/pallas/int8_matmul.py) — relu + requantise fused in VMEM
         self.use_pallas = use_pallas
@@ -165,7 +165,10 @@ class Int8ResNet:
 
     def _requant(self, f: jax.Array, site: str, int8_mode: bool) -> jax.Array:
         """int8 mode: quantise f to the site's static scale.  calibrate
-        mode: record amax, pass f through."""
+        mode: record amax (as a traced value gathered into ``self._sites``
+        — the whole calibration forward jits into ONE program per batch
+        shape instead of an eager op stream with a host readback per site),
+        pass f through."""
         if int8_mode:
             # multiply by the reciprocal, NOT divide: the Pallas epilogue
             # (ops/pallas/int8_matmul.py) requantises as round(f * (1/s)),
@@ -173,31 +176,39 @@ class Int8ResNet:
             # enough to flip LSBs that compound across requant boundaries.
             inv = 1.0 / self.scales[site]
             return jnp.clip(jnp.round(f * inv), -127, 127).astype(jnp.int8)
-        self._amax[site] = max(self._amax.get(site, 0.0),
-                               float(jnp.max(jnp.abs(f))))
+        self._sites[site] = jnp.max(jnp.abs(f))
         return f
 
     def _scale_of(self, site: str, int8_mode: bool):
         return self.scales[site] if int8_mode else jnp.float32(1.0)
 
-    def _conv(self, q, spec: _ConvSpec, in_scale, int8_mode: bool) -> jax.Array:
-        """-> f32 epilogue tensor (acc * scales + bias)."""
+    def _conv(self, q, spec: _ConvSpec, in_scale, int8_mode: bool,
+              fk: Optional[Tuple[jax.Array, jax.Array]] = None) -> jax.Array:
+        """-> f32 epilogue tensor (acc * scales + bias).  Float mode takes
+        this conv's (kernel, bias) via ``fk`` so the jitted calibration
+        graph receives the ~100 MB of folded f32 weights as *arguments*
+        rather than baked-in HLO constants (which overflow the
+        remote-compile relay's request size limit)."""
         if int8_mode:
             acc = _conv_i8(q, spec.qw, spec.stride, spec.pad, spec.groups)
             return acc.astype(jnp.float32) * (in_scale * spec.w_scale) + spec.bias
-        dn = lax.conv_dimension_numbers(q.shape, spec.kernel_f.shape,
+        kernel, bias = fk if fk is not None else (spec.kernel_f, spec.bias)
+        dn = lax.conv_dimension_numbers(q.shape, kernel.shape,
                                         ("NHWC", "HWIO", "NHWC"))
         acc = lax.conv_general_dilated(
-            q, spec.kernel_f, window_strides=(spec.stride, spec.stride),
+            q, kernel, window_strides=(spec.stride, spec.stride),
             padding=[(spec.pad, spec.pad)] * 2, dimension_numbers=dn,
             feature_group_count=spec.groups)
-        return acc + spec.bias
+        return acc + bias
 
-    def _forward(self, x: jax.Array, int8_mode: bool) -> jax.Array:
+    def _forward(self, x: jax.Array, int8_mode: bool,
+                 flt: Optional[Dict[str, Tuple[jax.Array, jax.Array]]] = None,
+                 fc: Optional[Tuple[jax.Array, jax.Array]] = None) -> jax.Array:
         q = self._requant(jnp.asarray(x, jnp.float32), "in", int8_mode)
         s = self._scale_of("in", int8_mode)
 
-        f = jax.nn.relu(self._conv(q, self.convs["stem"], s, int8_mode))
+        f = jax.nn.relu(self._conv(q, self.convs["stem"], s, int8_mode,
+                                   flt and flt["stem"]))
         q = self._requant(f, "stem", int8_mode)
         s = self._scale_of("stem", int8_mode)
         # torch maxpool k3 s2 p1; requant is monotone, so int8 maxpool is exact
@@ -218,7 +229,7 @@ class Int8ResNet:
                     q = self._pallas_conv1x1(q, spec, s, site, relu=inner)
                     s = self.scales[site]
                     continue
-                f = self._conv(q, spec, s, int8_mode)
+                f = self._conv(q, spec, s, int8_mode, flt and flt[cname])
                 if inner:
                     f = jax.nn.relu(f)
                 q = self._requant(f, site, int8_mode)
@@ -237,7 +248,8 @@ class Int8ResNet:
                     qd = self._pallas_conv1x1(q_in, dspec, s_in, f"{name}/ds",
                                               relu=False)
                 else:
-                    ident = self._conv(q_in, dspec, s_in, int8_mode)
+                    ident = self._conv(q_in, dspec, s_in, int8_mode,
+                                       flt and flt[f"{name}/down"])
                     qd = self._requant(ident, f"{name}/ds", int8_mode)
                 sd = self._scale_of(f"{name}/ds", int8_mode)
             else:
@@ -259,7 +271,8 @@ class Int8ResNet:
                                   preferred_element_type=jnp.int32)
             return acc.astype(jnp.float32) * (self.scales["fc"] * w_scale) + self.fc_bias
         self._requant(feat, "fc", int8_mode)
-        return feat @ self.fc_kernel + self.fc_bias
+        fck, fcb = fc if fc is not None else (self.fc_kernel, self.fc_bias)
+        return feat @ fck + fcb
 
     def _pallas_eligible(self, spec: _ConvSpec) -> bool:
         # any 1x1 pad-0 conv: stride-s is exact as a spatial slice + matmul
@@ -286,14 +299,30 @@ class Int8ResNet:
 
     # ------------------------------------------------------------- public
 
+    def _float_args(self):
+        flt = {name: (spec.kernel_f, spec.bias)
+               for name, spec in self.convs.items()}
+        return flt, (self.fc_kernel, self.fc_bias)
+
+    def _float_graph(self, flt, fc, x):
+        self._sites = {}
+        out = self._forward(x, int8_mode=False, flt=flt, fc=fc)
+        return out, dict(self._sites)
+
     def calibrate(self, batches: Sequence[jax.Array]) -> "Int8ResNet":
         """Record |amax| at every requantisation site over ``batches`` and
-        freeze static scales (observer-style PTQ)."""
-        self._amax = {}
+        freeze static scales (observer-style PTQ).  One jitted program per
+        batch shape; the ~53 per-site amax values come back in a single
+        device_get instead of 53 relay round-trips."""
+        amax: Dict[str, float] = {}
+        flt, fc = self._float_args()
+        fg = jax.jit(lambda flt, fc, b: self._float_graph(flt, fc, b)[1])
         for b in batches:
-            self._forward(jnp.asarray(b), int8_mode=False)
+            sites = jax.device_get(fg(flt, fc, jnp.asarray(b)))
+            for k, v in sites.items():
+                amax[k] = max(amax.get(k, 0.0), float(v))
         self.scales = {k: jnp.float32(max(v, 1e-8) / 127.0)
-                       for k, v in self._amax.items()}
+                       for k, v in amax.items()}
         return self
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -303,4 +332,5 @@ class Int8ResNet:
 
     def float_reference(self, x: jax.Array) -> jax.Array:
         """The BN-folded float forward of the same graph (sanity oracle)."""
-        return self._forward(jnp.asarray(x), int8_mode=False)
+        flt, fc = self._float_args()
+        return self._float_graph(flt, fc, jnp.asarray(x))[0]
