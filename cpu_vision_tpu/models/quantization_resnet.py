@@ -54,6 +54,39 @@ def _conv_i8(qx: jax.Array, qw: jax.Array, stride: int, pad: int, groups: int) -
         preferred_element_type=jnp.int32)
 
 
+def _s2d2_kernel(qw: jax.Array) -> jax.Array:
+    """Rearrange a 7x7 stride-2 pad-3 kernel into the equivalent 4x4
+    stride-1 pad-(2,1) kernel over the 2x space-to-depth input.
+
+    With x'[i,j,(dy*2+dx)*C+c] = x[2i+dy, 2j+dx, c], the stride-2 output
+    index u = 2i+ky-3 decomposes as u = 2(i+a-2)+dy with ky = 2a+dy-1, so
+    k2[a,b,(dy*2+dx)*C+c,o] = w[2a+dy-1, 2b+dx-1, c, o] (zero out of range).
+    Pure permutation of the int8 weights -> the MXU accumulator is
+    bit-identical to the direct conv; the contraction just stops wasting
+    125/128 lanes on the 3-channel input (measured 4.6 -> 4.0 ms on the
+    b256 224^2 stem on v5e)."""
+    kh, kw, cin, cout = qw.shape
+    assert (kh, kw) == (7, 7)
+    w = np.asarray(qw)
+    k2 = np.zeros((4, 4, 4 * cin, cout), w.dtype)
+    for a in range(4):
+        for b in range(4):
+            for dy in range(2):
+                for dx in range(2):
+                    ky, kx = 2 * a + dy - 1, 2 * b + dx - 1
+                    if 0 <= ky < 7 and 0 <= kx < 7:
+                        ch = (dy * 2 + dx) * cin
+                        k2[a, b, ch:ch + cin, :] = w[ky, kx, :, :]
+    return jnp.asarray(k2)
+
+
+def _s2d2(x: jax.Array) -> jax.Array:
+    n, h, w, c = x.shape
+    return (x.reshape(n, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, w // 2, 4 * c))
+
+
 class _ConvSpec:
     """One folded conv: int8 kernel + weight scales + BN-derived bias."""
 
@@ -67,6 +100,12 @@ class _ConvSpec:
         self.stride = int(stride)
         self.pad = int(pad)
         self.groups = 1  # fixed up by caller for grouped 3x3s
+        # built eagerly (NOT under an enclosing jit trace, where the array
+        # would cache as an escaped tracer); only the k7 s2 p3 stem uses it
+        self.qw_s2d2: Optional[jax.Array] = (
+            _s2d2_kernel(self.qw)
+            if self.qw.shape[:2] == (7, 7) and self.stride == 2 and self.pad == 3
+            else None)
 
 
 class Int8ResNet:
@@ -74,7 +113,7 @@ class Int8ResNet:
 
     def __init__(self, convs: Dict[str, _ConvSpec], fc_kernel, fc_bias,
                  topology: List[Tuple[str, List[str], bool]],
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, use_s2d2_stem: bool = True):
         self.convs = convs
         self.fc_kernel = jnp.asarray(fc_kernel, jnp.float32)
         self.fc_bias = jnp.asarray(fc_bias, jnp.float32)
@@ -84,6 +123,8 @@ class Int8ResNet:
         # route 1x1 convs through the Pallas requant-matmul kernel
         # (ops/pallas/int8_matmul.py) — relu + requantise fused in VMEM
         self.use_pallas = use_pallas
+        # stem as space-to-depth + 4x4 conv (exact; see _s2d2_kernel)
+        self.use_s2d2_stem = use_s2d2_stem
 
     # ------------------------------------------------------------ building
 
@@ -190,7 +231,16 @@ class Int8ResNet:
         rather than baked-in HLO constants (which overflow the
         remote-compile relay's request size limit)."""
         if int8_mode:
-            acc = _conv_i8(q, spec.qw, spec.stride, spec.pad, spec.groups)
+            if self._stem_s2d2_eligible(q, spec):
+                dn = lax.conv_dimension_numbers(
+                    (q.shape[0], q.shape[1] // 2, q.shape[2] // 2,
+                     4 * q.shape[3]), spec.qw_s2d2.shape,
+                    ("NHWC", "HWIO", "NHWC"))
+                acc = lax.conv_general_dilated(
+                    _s2d2(q), spec.qw_s2d2, (1, 1), [(2, 1), (2, 1)],
+                    dimension_numbers=dn, preferred_element_type=jnp.int32)
+            else:
+                acc = _conv_i8(q, spec.qw, spec.stride, spec.pad, spec.groups)
             return acc.astype(jnp.float32) * (in_scale * spec.w_scale) + spec.bias
         kernel, bias = fk if fk is not None else (spec.kernel_f, spec.bias)
         dn = lax.conv_dimension_numbers(q.shape, kernel.shape,
@@ -273,6 +323,13 @@ class Int8ResNet:
         self._requant(feat, "fc", int8_mode)
         fck, fcb = fc if fc is not None else (self.fc_kernel, self.fc_bias)
         return feat @ fck + fcb
+
+    def _stem_s2d2_eligible(self, q, spec: _ConvSpec) -> bool:
+        # exact rewrite is derived for the k7 s2 p3 stem geometry only, and
+        # the space-to-depth reshape needs even spatial dims
+        return (self.use_s2d2_stem and spec.qw_s2d2 is not None
+                and spec.groups == 1
+                and q.shape[1] % 2 == 0 and q.shape[2] % 2 == 0)
 
     def _pallas_eligible(self, spec: _ConvSpec) -> bool:
         # any 1x1 pad-0 conv: stride-s is exact as a spatial slice + matmul

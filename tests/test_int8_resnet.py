@@ -109,3 +109,31 @@ def test_pallas_path_matches_xla_path(rng):
     ref = np.asarray(eng(x))
     corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
     assert corr > 0.999
+
+
+def test_s2d2_stem_bit_exact(rng):
+    """The space-to-depth stem (k7 s2 p3 -> s2d + 4x4 s1 conv) is a pure
+    permutation of the int8 weights, so the whole int8 forward must be
+    BIT-IDENTICAL to the direct-conv graph."""
+    m = models.get_model("resnet18", num_classes=10)
+    x = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    v = _perturbed_init(m, x)
+    eng = Int8ResNet.from_model(m, v).calibrate([x])
+    eng.use_s2d2_stem = False
+    direct = np.asarray(eng(x))
+    eng.use_s2d2_stem = True
+    s2d = np.asarray(eng(x))
+    np.testing.assert_array_equal(direct, s2d)
+
+
+def test_s2d2_stem_odd_input_falls_back(rng):
+    """Odd spatial dims can't space-to-depth; the engine must fall back to
+    the direct conv (and still match the float oracle)."""
+    m = models.get_model("resnet18", num_classes=10)
+    x = jnp.asarray(rng.random((2, 65, 65, 3), dtype=np.float32))
+    v = _perturbed_init(m, x)
+    eng = Int8ResNet.from_model(m, v).calibrate([x])
+    fl = np.asarray(eng.float_reference(x))
+    got = np.asarray(eng(x))
+    rel = np.abs(got - fl).max() / (np.abs(fl).max() + 1e-9)
+    assert rel < 0.06
