@@ -18,10 +18,12 @@ import time
 
 TARGET_GPIX_S = 2.0  # BASELINE.md: fused Canny >= 2 GPix/s per chip on 1080p
 
-# Budget: full run well under typical driver timeouts even with a cold
-# remote-compile (~40 s) plus a hung-then-recovered relay.
-_CHILD_TIMEOUT_S = 300
-_RETRY_TIMEOUT_S = 200
+# Budget: the axon relay's remote-compile latency is wildly variable —
+# measured 65 s to 350 s for the SAME small program within one hour
+# (round-3 probes).  Give the real attempt most of a ~600 s driver
+# budget, and keep a short smaller-workload retry inside the remainder.
+_CHILD_TIMEOUT_S = 420
+_RETRY_TIMEOUT_S = 150
 
 
 # ---------------------------------------------------------------- child ----
@@ -67,6 +69,15 @@ def _scene(h: int, w: int, batch: int):
 def _child(iters: int, batch: int) -> None:
     import jax
     import jax.numpy as jnp
+
+    # Persistent compile cache: harmless when the relay re-compiles anyway,
+    # and skips the remote compile entirely when its executable
+    # serialization path is healthy.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/cvt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
 
     from cpu_vision_tpu import ops
 
@@ -122,7 +133,7 @@ def _run_child(iters: int, batch: int, timeout_s: int):
 
 
 def main() -> None:
-    attempts = [(50, 8, _CHILD_TIMEOUT_S), (10, 4, _RETRY_TIMEOUT_S)]
+    attempts = [(50, 8, _CHILD_TIMEOUT_S), (10, 2, _RETRY_TIMEOUT_S)]
     errors = []
     for iters, batch, timeout_s in attempts:
         parsed, err = _run_child(iters, batch, timeout_s)
