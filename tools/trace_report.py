@@ -22,6 +22,9 @@ import sys
 import time
 from functools import partial
 
+# make `python tools/trace_report.py` work from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax
