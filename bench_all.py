@@ -236,6 +236,22 @@ def main():
     dtv8 = bench(fv8, vvars, x, iters=10)
     rows.append(emit("vit_b16_infer_b256_int8", 256 / dtv8, "img/s"))
 
+    # 6c2. breadth rows: one hierarchical-attention and one modern-conv
+    # flagship (the reference's own headline families beyond R50/ViT),
+    # same b256 224^2 harness.  MAC counts from the reference's weight
+    # metadata (swin_t 4.49, convnext_tiny 4.46 GMACs/img).
+    for bname, gmacs in (("swin_t", 4.49), ("convnext_tiny", 4.46)):
+        bm = models.get_model(bname, num_classes=1000, dtype=jnp.bfloat16)
+        bvars = bm.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
+                        train=False)
+        fb = jax.jit(lambda v, t, bm=bm: bm.apply(v, t, train=False))
+        dtb = bench(fb, bvars, x, iters=10)
+        ips = 256 / dtb
+        rows.append(emit(f"{bname}_infer_b256_bf16", ips, "img/s"))
+        rows.append(emit(f"{bname}_infer_mfu_pct",
+                         ips * gmacs * 2e9 / 197e12 * 100, "%"))
+        del bm, bvars, fb
+
     # 6d. detection end-to-end (fixed-shape redesign): FasterRCNN-R50-FPN
     # inference at 640x640 b8 — backbone + RPN + RoI heads + NMS, all one
     # jitted program (the reference runs this as a Python pipeline over

@@ -125,6 +125,14 @@ class Int8ResNet:
         self.use_pallas = use_pallas
         # stem as space-to-depth + 4x4 conv (exact; see _s2d2_kernel)
         self.use_s2d2_stem = use_s2d2_stem
+        # Carry the pre-requant activation in bf16 instead of f32, halving
+        # the read side of the separate clamp/convert requant passes the
+        # int8_e2e trace shows (~45% of device time).  MEASURED NEGATIVE on
+        # v5e (b256 e2e: 16.7k img/s bf16 vs 17.3k f32, same process
+        # conditions) — the requant passes are not simply read-bound, and
+        # the downcast costs the conv epilogue more than the pass saves.
+        # Kept as a knob for other chips; default off.
+        self.bf16_epilogue = False
 
     # ------------------------------------------------------------ building
 
@@ -216,7 +224,10 @@ class Int8ResNet:
             # and f/s vs f*(1/s) differ by 1 ULP near rounding halves —
             # enough to flip LSBs that compound across requant boundaries.
             inv = 1.0 / self.scales[site]
-            return jnp.clip(jnp.round(f * inv), -127, 127).astype(jnp.int8)
+            # arithmetic in f32 even when f rides HBM as bf16 — the upcast
+            # is in-register inside the requant fusion, traffic unchanged
+            return jnp.clip(jnp.round(f.astype(jnp.float32) * inv),
+                            -127, 127).astype(jnp.int8)
         self._sites[site] = jnp.max(jnp.abs(f))
         return f
 
@@ -241,7 +252,8 @@ class Int8ResNet:
                     dimension_numbers=dn, preferred_element_type=jnp.int32)
             else:
                 acc = _conv_i8(q, spec.qw, spec.stride, spec.pad, spec.groups)
-            return acc.astype(jnp.float32) * (in_scale * spec.w_scale) + spec.bias
+            out = acc.astype(jnp.float32) * (in_scale * spec.w_scale) + spec.bias
+            return out.astype(jnp.bfloat16) if self.bf16_epilogue else out
         kernel, bias = fk if fk is not None else (spec.kernel_f, spec.bias)
         dn = lax.conv_dimension_numbers(q.shape, kernel.shape,
                                         ("NHWC", "HWIO", "NHWC"))

@@ -137,3 +137,23 @@ def test_s2d2_stem_odd_input_falls_back(rng):
     got = np.asarray(eng(x))
     rel = np.abs(got - fl).max() / (np.abs(fl).max() + 1e-9)
     assert rel < 0.06
+
+
+def test_bf16_epilogue_close_to_f32(rng):
+    """The bf16 pre-requant carry (a perf knob, default off) adds at most
+    ~0.5 LSB of rounding per requant site — logits must stay close to the
+    f32-epilogue graph and within the engine's error budget of the float
+    oracle."""
+    m = models.get_model("resnet18", num_classes=10)
+    x = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    v = _perturbed_init(m, x)
+    eng = Int8ResNet.from_model(m, v).calibrate([x])
+    f32 = np.asarray(eng(x))
+    eng.bf16_epilogue = True
+    b16 = np.asarray(eng(x))
+    fl = np.asarray(eng.float_reference(x))
+    scale = max(np.abs(fl).max(), 1e-9)
+    # per-site rounding is <=0.5 LSB but flipped LSBs cascade through the
+    # downstream requant chain, so graph-vs-graph drift exceeds one LSB
+    assert np.abs(b16 - f32).max() / scale < 0.04
+    assert np.abs(b16 - fl).max() / scale < 0.06
