@@ -99,6 +99,17 @@ def workload_vit_infer():
     return (lambda s: (s, f(v, x))), None
 
 
+def workload_swin_infer():
+    from cpu_vision_tpu import models
+
+    m = models.get_model("swin_t", num_classes=1000, dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((256, 224, 224, 3), dtype=np.float32)).astype(jnp.bfloat16)
+    f = jax.jit(lambda v, t: m.apply(v, t, train=False))
+    return (lambda s: (s, f(v, x))), None
+
+
 def workload_int8_e2e():
     from cpu_vision_tpu.models.quantization_resnet import Int8ResNet
 
@@ -114,6 +125,7 @@ WORKLOADS = {
     "r50_train": workload_r50_train,
     "r50_infer": workload_r50_infer,
     "vit_infer": workload_vit_infer,
+    "swin_infer": workload_swin_infer,
     "int8_e2e": workload_int8_e2e,
 }
 
