@@ -33,6 +33,23 @@ def _window_reverse(windows, ws: int, n: int, h: int, w: int):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, -1)
 
 
+def _shift_mask(ph: int, pw: int, ws: int, shift_h: int, shift_w: int):
+    """(nW, ws*ws, ws*ws) additive attention mask for the wrapped windows
+    of a cyclic shift (reference ``swin_transformer.py:165-176``)."""
+    img_mask = np.zeros((1, ph, pw, 1), np.float32)
+    cnt = 0
+    h_slices = ((slice(0, -ws), slice(-ws, -shift_h), slice(-shift_h, None))
+                if shift_h else (slice(0, None),))
+    w_slices = ((slice(0, -ws), slice(-ws, -shift_w), slice(-shift_w, None))
+                if shift_w else (slice(0, None),))
+    for hs in h_slices:
+        for wsl in w_slices:
+            img_mask[:, hs, wsl, :] = cnt
+            cnt += 1
+    mw = _window_partition(jnp.asarray(img_mask), ws)[..., 0]  # (nW, ws*ws)
+    return jnp.where(mw[:, None, :] != mw[:, :, None], -100.0, 0.0)
+
+
 def _relative_position_index(ws: int) -> np.ndarray:
     coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
     flat = coords.reshape(2, -1)
@@ -82,8 +99,14 @@ class WindowAttention(nn.Module):
         b, n, c = x.shape  # (windows, ws*ws, C)
         ws = self.window_size
         qkv = _QKV(3 * self.dim, zero_k_bias=self.v2, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, c // self.num_heads)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # slice the flat (b, n, 3C) product instead of reshaping to
+        # (b, n, 3, heads, hd): the 5-D reshape forces XLA to materialise
+        # a full-tensor layout copy ({1,4,3,0,2}) that traced at ~23% of
+        # swin_t device time; minor-dim slices + head splits fuse away.
+        hd = c // self.num_heads
+        q = qkv[..., :c].reshape(b, n, self.num_heads, hd)
+        k = qkv[..., c:2 * c].reshape(b, n, self.num_heads, hd)
+        v = qkv[..., 2 * c:].reshape(b, n, self.num_heads, hd)
         idx = jnp.asarray(_relative_position_index(ws)).reshape(-1)
         if self.v2:
             # cosine attention with learned per-head logit scale
@@ -118,6 +141,51 @@ class WindowAttention(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
+class _SlotDense(nn.Module):
+    """Parameter slots matching ``nn.Dense``/``_QKV`` (kernel + bias)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(), self.shape),
+                self.param("bias", nn.initializers.zeros, (self.shape[1],)))
+
+
+class _WinAttnParams(nn.Module):
+    """The WindowAttention parameter tree (qkv / proj / position bias) as
+    raw arrays for the fused Pallas kernel — slots identical to
+    ``WindowAttention`` so converters and checkpoints are unchanged."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    v2: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        c, ws, nh = self.dim, self.window_size, self.num_heads
+        n = ws * ws
+        wqkv, bqkv = _SlotDense((c, 3 * c), name="qkv")()
+        wo, bo = _SlotDense((c, c), name="proj")()
+        idx = jnp.asarray(_relative_position_index(ws)).reshape(-1)
+        if self.v2:
+            bqkv = bqkv.at[c:2 * c].set(0.0)
+            logit_scale = self.param(
+                "logit_scale", nn.initializers.constant(np.log(10.0)), (nh, 1, 1))
+            coords = jnp.asarray(_log_cpb_coords(ws).reshape(-1, 2))
+            hcpb = nn.relu(nn.Dense(512, dtype=self.dtype, name="cpb_fc1")(coords))
+            table = nn.Dense(nh, use_bias=False, dtype=self.dtype, name="cpb_fc2")(hcpb)
+            bias = 16.0 * nn.sigmoid(table[idx].reshape(n, n, nh)).transpose(2, 0, 1)
+            return wqkv, bqkv, wo, bo, bias, logit_scale.reshape(nh)
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.normal(stddev=0.02), ((2 * ws - 1) ** 2, nh))
+        bias = table[idx].reshape(n, n, nh).transpose(2, 0, 1)
+        return wqkv, bqkv, wo, bo, bias, None
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
@@ -132,50 +200,86 @@ class SwinBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         n, h, w, c = x.shape
         ws = self.window_size
-        res = x
-        # V2 uses post-norm (norm applied to the branch output)
-        y = x if self.v2 else nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         # the reference never shrinks the window: it pads the feature map up
         # to window multiples and zeroes the shift per-dim when the window
         # covers the padded dim (``shifted_window_attention``,
         # ``swin_transformer.py:151-163``)
         ph = (h + ws - 1) // ws * ws
         pw = (w + ws - 1) // ws * ws
-        if (ph, pw) != (h, w):
-            y = jnp.pad(y, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
         shift_h = self.shift if ws < ph else 0
         shift_w = self.shift if ws < pw else 0
-        if shift_h + shift_w > 0:
-            y = jnp.roll(y, (-shift_h, -shift_w), axis=(1, 2))
-            # attention mask for wrapped windows
-            img_mask = np.zeros((1, ph, pw, 1), np.float32)
-            cnt = 0
-            h_slices = ((slice(0, -ws), slice(-ws, -shift_h), slice(-shift_h, None))
-                        if shift_h else (slice(0, None),))
-            w_slices = ((slice(0, -ws), slice(-ws, -shift_w), slice(-shift_w, None))
-                        if shift_w else (slice(0, None),))
-            for hs in h_slices:
-                for wsl in w_slices:
-                    img_mask[:, hs, wsl, :] = cnt
-                    cnt += 1
-            mw = _window_partition(jnp.asarray(img_mask), ws)[..., 0]  # (nW, ws*ws)
-            mask = jnp.where(mw[:, None, :] != mw[:, :, None], -100.0, 0.0)
+        shifted = shift_h + shift_w > 0
+
+        from ..ops.pallas.swin_attention import (pick_group,
+                                                 window_attention_block)
+
+        it = jnp.dtype(self.dtype).itemsize
+        nw_img = (ph // ws) * (pw // ws)
+        nsq = ws * ws
+        gsel = pick_group(n * nw_img, nw_img, self.num_heads, shifted)
+        # fused path only on unpadded maps: the kernel LN-normalises raw
+        # windows, which matches the reference only when no zero padding
+        # mixes into a window (224-input swin never pads)
+        attn_fusable = (
+            (not train or self.sd_prob == 0.0) and (ph, pw) == (h, w)
+            and c % 8 == 0
+            and (4 * c * c * it + self.num_heads * nsq * nsq * 4
+                 + 2 * gsel * nsq * c * (4 + it)
+                 + nsq * 3 * c * 4) <= 12_500_000)
+        if attn_fusable:
+            # one VMEM-resident kernel for LN + QKV + windowed MSA +
+            # position bias/shift mask + proj + residual
+            # (ops/pallas/swin_attention.py — trace evidence in its
+            # docstring); param slots identical to the unfused path.
+            from .vision_transformer import _LNParams
+
+            g0, b0 = _LNParams(c, name="LayerNorm_0")()
+            wqkv, bqkv, wo, bo, bias, ls = _WinAttnParams(
+                c, self.num_heads, ws, v2=self.v2, dtype=self.dtype,
+                name="WindowAttention_0")()
+            mask = _shift_mask(ph, pw, ws, shift_h, shift_w) if shifted else None
+            y = jnp.roll(x, (-shift_h, -shift_w), axis=(1, 2)) if shifted else x
+            out = window_attention_block(
+                _window_partition(y, ws), g0, b0, wqkv.astype(self.dtype),
+                bqkv, wo.astype(self.dtype), bo, bias, mask, ls,
+                self.num_heads, float(c // self.num_heads) ** -0.5, 1e-5,
+                self.v2, nw_img, jax.default_backend() != "tpu")
+            y = _window_reverse(out, ws, n, ph, pw)
+            if shifted:
+                y = jnp.roll(y, (shift_h, shift_w), axis=(1, 2))
+            x = y
         else:
-            mask = None
-        windows = _window_partition(y, ws)
-        attn = WindowAttention(self.dim, self.num_heads, ws, v2=self.v2, dtype=self.dtype)(windows, mask)
-        y = _window_reverse(attn, ws, n, ph, pw)
-        if shift_h + shift_w > 0:
-            y = jnp.roll(y, (shift_h, shift_w), axis=(1, 2))
-        if (ph, pw) != (h, w):
-            y = y[:, :h, :w, :]
-        if self.v2:
-            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
-        x = res + StochasticDepth(self.sd_prob, "row")(y, train)
+            res = x
+            # V2 uses post-norm (norm applied to the branch output)
+            y = x if self.v2 else nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                               name="LayerNorm_0")(x)
+            if (ph, pw) != (h, w):
+                y = jnp.pad(y, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+            if shifted:
+                y = jnp.roll(y, (-shift_h, -shift_w), axis=(1, 2))
+                mask = _shift_mask(ph, pw, ws, shift_h, shift_w)
+            else:
+                mask = None
+            windows = _window_partition(y, ws)
+            attn = WindowAttention(self.dim, self.num_heads, ws, v2=self.v2,
+                                   dtype=self.dtype)(windows, mask)
+            y = _window_reverse(attn, ws, n, ph, pw)
+            if shifted:
+                y = jnp.roll(y, (shift_h, shift_w), axis=(1, 2))
+            if (ph, pw) != (h, w):
+                y = y[:, :h, :w, :]
+            if self.v2:
+                y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                 name="LayerNorm_0")(y)
+            x = res + StochasticDepth(self.sd_prob, "row")(y, train)
 
         dh = int(self.dim * self.mlp_ratio)
         it = jnp.dtype(self.dtype).itemsize
-        fusable = ((not train or self.sd_prob == 0.0) and c % 128 == 0
+        # c need only be sublane-tileable: Mosaic pads a 96/192-lane minor
+        # dim to 128 (25%/50% lane waste) which still beats the layouts XLA
+        # picks for the unfused stage-1/2 MLPs by an order of magnitude
+        # (fusion.210: 4.6 ms/iter for a 0.3 ms-at-peak matmul).
+        fusable = ((not train or self.sd_prob == 0.0) and c % 8 == 0
                    and (2 * c * dh * it <= 10_000_000 or dh % 256 == 0))
         if fusable:
             # fused MLP sub-block (ops/pallas/transformer_block.py):

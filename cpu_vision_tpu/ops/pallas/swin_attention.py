@@ -1,0 +1,241 @@
+"""Fused Swin window-attention Pallas kernel.
+
+``x + Proj(WindowMSA(LN(x)))`` over a batch of windows — the whole
+attention sub-block of a Swin block (reference
+``torchvision/models/swin_transformer.py:shifted_window_attention``) as
+one VMEM-resident kernel.
+
+Why: the einsum formulation of window attention is layout hell on TPU.
+With S=49-token windows XLA materialises full-tensor layout copies of the
+QKV product (token dim forced into lanes), runs the 49x49 score matmuls
+through batch-in-lanes emitters, and round-trips f32 scores through HBM
+for the softmax — traced at ~60% of swin_t b256 device time (qkv-reshape
+copies 23%, QK/AV fusions + separate reduce_max/reduce_sum softmax the
+rest).  Here each grid program holds the QKV/out weights, the relative
+position bias and the shift mask in VMEM, walks G windows with static
+slicing (no transpose exists in any memory space), scores stay in VMEM
+f32, softmax on the VPU, matmuls on the MXU.
+
+Supports both attention flavours:
+  * v1 — pre-LN outside residual, scaled dot product, learned
+    relative-position-bias table (gathered to (heads, S, S) outside).
+  * v2 — cosine attention with per-head learned logit scale, continuous
+    position bias (computed outside), post-norm on the branch output.
+
+Backward: custom_vjp recomputing from x with plain XLA einsums
+(flash-style rematerialisation), like transformer_block.attention_block.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+__all__ = ["window_attention_block"]
+
+
+def _ln_f32(x, g, b, eps):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    c = x - m
+    v = jnp.mean(c * c, axis=-1, keepdims=True)
+    return c * jax.lax.rsqrt(v + eps) * g + b
+
+
+def _softmax_f32(s):
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+            bias_ref, mask_ref, ls_ref, o_ref, *, heads: int, scale: float,
+            eps: float, dtype, v2: bool, masked: bool):
+    G, S, C = x_ref.shape
+    hd = C // heads
+    g32 = g_ref[...].astype(jnp.float32)
+    b32 = b_ref[...].astype(jnp.float32)
+    mask_p = mask_ref.shape[0] if masked else 1
+    for w in range(G):
+        x32 = x_ref[w].astype(jnp.float32)                      # (S, C)
+        h = x32.astype(dtype) if v2 else _ln_f32(x32, g32, b32, eps).astype(dtype)
+        qkv = jax.lax.dot_general(h, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        qkv = qkv + bqkv_ref[...].astype(jnp.float32)            # (S, 3C) f32
+        outs = []
+        for i in range(heads):
+            q = qkv[:, i * hd:(i + 1) * hd]
+            k = qkv[:, C + i * hd:C + (i + 1) * hd]
+            v = qkv[:, 2 * C + i * hd:2 * C + (i + 1) * hd].astype(dtype)
+            if v2:
+                q = q * jax.lax.rsqrt(
+                    jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-12))
+                k = k * jax.lax.rsqrt(
+                    jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-12))
+                s = jax.lax.dot_general(
+                    q.astype(dtype), k.astype(dtype), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s = s * jnp.exp(jnp.minimum(ls_ref[0, i], np.log(100.0)))
+            else:
+                s = jax.lax.dot_general(
+                    (q * scale).astype(dtype), k.astype(dtype),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            s = s + bias_ref[i].astype(jnp.float32)
+            if masked:
+                s = s + mask_ref[w % mask_p].astype(jnp.float32)
+            p = _softmax_f32(s).astype(dtype)
+            outs.append(jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        o = jnp.concatenate(outs, axis=-1).astype(dtype)         # (S, C)
+        o = jax.lax.dot_general(o, wo_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o = o + bo_ref[...].astype(jnp.float32)
+        if v2:
+            o = _ln_f32(o, g32, b32, eps)
+        o_ref[w] = (x32 + o).astype(o_ref.dtype)
+
+
+def pick_group(nw_total: int, nw_img: int, heads: int, masked: bool) -> int:
+    """Largest G <= 32 dividing the window count with G*heads bounded (the
+    kernel unrolls windows x heads), and compatible with the mask period
+    (G | nw_img, or nw_img | G so in-kernel ``w % nw_img`` is exact)."""
+    for g in range(min(32, max(96 // heads, 1)), 0, -1):
+        if nw_total % g:
+            continue
+        if masked and not (nw_img % g == 0 or g % nw_img == 0):
+            continue
+        return g
+    return 1
+
+
+def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
+                logit_scale, heads, scale, eps, v2, nw_img, interpret):
+    nw, s, c = x.shape
+    masked = mask is not None
+    g = pick_group(nw, nw_img, heads, masked)
+    if masked:
+        p = min(g, nw_img)
+        mask_spec = pl.BlockSpec(
+            (p, s, s), lambda i, p=p, n=nw_img, g=g: ((i * g % n) // p, 0, 0))
+        mask_in = mask
+    else:
+        mask_in = jnp.zeros((1, s, s), jnp.float32)
+        mask_spec = pl.BlockSpec((1, s, s), lambda i: (0, 0, 0))
+    if logit_scale is None:
+        logit_scale = jnp.zeros((heads,), jnp.float32)
+    return pl.pallas_call(
+        partial(_kernel, heads=heads, scale=scale, eps=eps, dtype=w_qkv.dtype,
+                v2=v2, masked=masked),
+        grid=(nw // g,),
+        in_specs=[
+            pl.BlockSpec((g, s, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((heads, s, s), lambda i: (0, 0, 0)),
+            mask_spec,
+            pl.BlockSpec((1, heads), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nw, s, c), x.dtype),
+        interpret=interpret,
+    )(x, ln_g.reshape(1, c), ln_b.reshape(1, c), w_qkv,
+      b_qkv.reshape(1, 3 * c), w_o, b_o.reshape(1, c),
+      rel_bias.astype(jnp.float32), mask_in.astype(jnp.float32),
+      logit_scale.reshape(1, heads).astype(jnp.float32))
+
+
+def _ref_math(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
+              logit_scale, heads, scale, eps, v2, nw_img, dtype):
+    """Same math in plain XLA ops (backward recompute + test oracle)."""
+    nw, s, c = x.shape
+    hd = c // heads
+    x32 = x.astype(jnp.float32)
+    g32, bb32 = ln_g.astype(jnp.float32), ln_b.astype(jnp.float32)
+    h = x32.astype(dtype) if v2 else _ln_f32(x32, g32, bb32, eps).astype(dtype)
+    qkv = (jnp.dot(h, w_qkv, preferred_element_type=jnp.float32)
+           + b_qkv.astype(jnp.float32))
+    q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+    q = q.reshape(nw, s, heads, hd)
+    k = k.reshape(nw, s, heads, hd)
+    v = v.reshape(nw, s, heads, hd).astype(dtype)
+    if v2:
+        q = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-12))
+        k = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-12))
+        sc = jnp.einsum("bnhd,bmhd->bhnm", q.astype(dtype), k.astype(dtype),
+                        preferred_element_type=jnp.float32)
+        sc = sc * jnp.exp(jnp.minimum(logit_scale, np.log(100.0))).reshape(1, heads, 1, 1)
+    else:
+        sc = jnp.einsum("bnhd,bmhd->bhnm", (q * scale).astype(dtype),
+                        k.astype(dtype), preferred_element_type=jnp.float32)
+    sc = sc + rel_bias.astype(jnp.float32)[None]
+    if mask is not None:
+        m = mask.astype(jnp.float32)
+        sc = sc.reshape(nw // nw_img, nw_img, heads, s, s) + m[None, :, None]
+        sc = sc.reshape(nw, heads, s, s)
+    p = _softmax_f32(sc).astype(dtype)
+    o = jnp.einsum("bhnm,bmhd->bnhd", p, v,
+                   preferred_element_type=jnp.float32)
+    o = o.reshape(nw, s, c).astype(dtype)
+    o = jnp.dot(o, w_o, preferred_element_type=jnp.float32) + b_o.astype(jnp.float32)
+    if v2:
+        o = _ln_f32(o, g32, bb32, eps)
+    return (x32 + o).astype(x.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+def window_attention_block(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias,
+                           mask, logit_scale, heads: int, scale: float,
+                           eps: float, v2: bool, nw_img: int,
+                           interpret: bool = False):
+    """Fused Swin attention sub-block over ``x`` (num_windows, S, C).
+
+    ``rel_bias`` is the (heads, S, S) position bias (v1: gathered table;
+    v2: 16*sigmoid(CPB MLP)); ``mask`` is the (nW_img, S, S) shift mask or
+    None; ``logit_scale`` is the v2 per-head (heads,) log scale or None;
+    ``nw_img`` = windows per image (the mask period in the window batch).
+    """
+    return _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias,
+                       mask, logit_scale, heads, scale, eps, v2, nw_img,
+                       interpret)
+
+
+def _fwd(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask, logit_scale,
+         heads, scale, eps, v2, nw_img, interpret):
+    out = _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
+                      logit_scale, heads, scale, eps, v2, nw_img, interpret)
+    return out, (x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
+                 logit_scale)
+
+
+def _bwd(heads, scale, eps, v2, nw_img, interpret, res, g):
+    x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask, logit_scale = res
+    has_mask = mask is not None
+    has_ls = logit_scale is not None
+    diff = (x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias)
+    if has_ls:
+        diff = diff + (logit_scale,)
+
+    def loss(*a):
+        xx, lg, lb, wq, bq, wo, bo, rb = a[:8]
+        ls = a[8] if has_ls else None
+        out = _ref_math(xx, lg, lb, wq, bq, wo, bo, rb, mask, ls, heads,
+                        scale, eps, v2, nw_img, w_qkv.dtype)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    grads = jax.grad(loss, argnums=tuple(range(len(diff))))(*diff)
+    gx, glg, glb, gwq, gbq, gwo, gbo, grb = grads[:8]
+    gls = grads[8] if has_ls else None
+    gmask = jnp.zeros_like(mask) if has_mask else None
+    return (gx, glg, glb, gwq, gbq, gwo, gbo, grb, gmask, gls)
+
+
+window_attention_block.defvjp(_fwd, _bwd)
