@@ -46,6 +46,33 @@ def test_cpu_mesh_env_not_ready(monkeypatch, platforms, flags):
     assert not graft._cpu_mesh_env_ready(8)
 
 
+def test_cpu_mesh_env_not_ready_under_axon_hijack(monkeypatch):
+    """Round-3 postmortem: with PALLAS_AXON_POOL_IPS set, the container
+    sitecustomize hijacks backend selection even under JAX_PLATFORMS=cpu
+    (the process gets a 1-device TPU backend).  The env check must treat
+    that as not-ready so the subprocess bootstrap (which clears the var)
+    is taken."""
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    assert not graft._cpu_mesh_env_ready(8)
+
+
+def test_axon_hijack_env_goes_to_bootstrap(monkeypatch):
+    monkeypatch.delenv("_CVT_MULTICHIP_REEXEC", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    calls = []
+    monkeypatch.setattr(graft, "_bootstrap_multichip_subprocess", lambda n: calls.append(n))
+    monkeypatch.setattr(
+        graft, "_dryrun_multichip_impl",
+        lambda n: (_ for _ in ()).throw(AssertionError("impl ran in hijacked env")),
+    )
+    graft.dryrun_multichip(8)
+    assert calls == [8]
+
+
 def test_parent_path_makes_no_jax_contact(monkeypatch):
     """With no re-exec marker and no CPU-mesh env, dryrun_multichip must go
     straight to the subprocess bootstrap without touching jax."""
