@@ -12,11 +12,20 @@ prints a parseable JSON line carrying an ``"error"`` field, exiting 0.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
 
 TARGET_GPIX_S = 2.0  # BASELINE.md: fused Canny >= 2 GPix/s per chip on 1080p
+
+# Repo-local persistent compile cache (round-3 postmortem: /tmp is wiped
+# between the builder's round and the driver's end-of-round bench run, so
+# the child paid the 65-350 s remote compile again and timed out).  The
+# cache entries are committed to the repo; a warmed cache lets the child
+# skip the remote compile entirely when the relay's executable
+# serialization path is healthy.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_compile_cache")
 
 # Budget: the axon relay's remote-compile latency is wildly variable —
 # measured 65 s to 350 s for the SAME small program within one hour
@@ -74,7 +83,8 @@ def _child(iters: int, batch: int) -> None:
     # and skips the remote compile entirely when its executable
     # serialization path is healthy.
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/cvt_jax_cache")
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
@@ -132,8 +142,23 @@ def _run_child(iters: int, batch: int, timeout_s: int):
     return parsed, None
 
 
+def warm() -> None:
+    """Populate the repo-local compile cache (run while the relay is alive).
+
+    Uses the exact shapes ``main()``'s attempts use, so the driver-time
+    child gets cache hits instead of a 65-350 s remote compile.
+    """
+    for iters, batch in [(2, 8)]:
+        parsed, err = _run_child(iters, batch, _CHILD_TIMEOUT_S)
+        print(f"warm(iters={iters}, batch={batch}): "
+              f"{'ok ' + json.dumps(parsed) if parsed else 'FAILED: ' + str(err)}")
+
+
 def main() -> None:
-    attempts = [(50, 8, _CHILD_TIMEOUT_S), (10, 2, _RETRY_TIMEOUT_S)]
+    # Both attempts use the SAME batch shape: compile time dominates end to
+    # end (compute is <1 s), and a single shape means one cache entry
+    # covers every attempt, warmed or not.
+    attempts = [(30, 8, _CHILD_TIMEOUT_S), (5, 8, _RETRY_TIMEOUT_S)]
     errors = []
     for iters, batch, timeout_s in attempts:
         parsed, err = _run_child(iters, batch, timeout_s)
@@ -155,5 +180,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--child":
         _child(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--warm":
+        warm()
     else:
         main()
