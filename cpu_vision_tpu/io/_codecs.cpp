@@ -394,11 +394,21 @@ bool gif_lzw(GifReader& r, int min_code_size, std::vector<uint8_t>& indices,
   }
 }
 
-}  // namespace
+// One parsed frame: palette-index raster (deinterlaced) + its GCE state.
+struct GifFrame {
+  int left, top, fw, fh;
+  int transparent;          // palette index, -1 if none
+  int disposal;             // GCE disposal method (0..7); 1 = DO_NOT
+  int pal_size;
+  uint8_t palette[256][3];
+  std::vector<uint8_t> indices;  // fw*fh, row-major (interlacing undone)
+};
 
-int cvt_decode_gif(const uint8_t* data, size_t len, uint8_t** out, int* h,
-                   int* w, int* c) {
-  if (!data || !out || !h || !w || !c) return CVT_ERR_ARGS;
+// Parse up to `max_frames` frames (<=0 means all).  Returns CVT_OK and fills
+// `frames`, canvas dims and background color.
+int gif_parse(const uint8_t* data, size_t len, int max_frames,
+              std::vector<GifFrame>& frames, int* canvas_w, int* canvas_h,
+              uint8_t bg[3]) {
   if (cvt_sniff(data, len) != 4) return CVT_ERR_FORMAT;
   GifReader r{data, len};
   r.skip(6);  // header
@@ -416,20 +426,30 @@ int cvt_decode_gif(const uint8_t* data, size_t len, uint8_t** out, int* h,
     for (int i = 0; i < gct_size; ++i)
       for (int k = 0; k < 3; ++k) gct[i][k] = r.u8();
   }
+  bg[0] = bg[1] = bg[2] = 0;
+  if (gct_size > 0 && bg_index < gct_size) {
+    bg[0] = gct[bg_index][0]; bg[1] = gct[bg_index][1]; bg[2] = gct[bg_index][2];
+  }
+  *canvas_w = W;
+  *canvas_h = H;
 
+  // GCE state applies to the NEXT image only, then resets (GIF89a spec).
   int transparent = -1;
+  int disposal = 0;
   for (;;) {
-    if (!r.ok) return CVT_ERR_DECODE;
+    if (!r.ok) return frames.empty() ? CVT_ERR_DECODE : CVT_OK;
     uint8_t tag = r.u8();
-    if (tag == 0x3B) return CVT_ERR_DECODE;  // trailer before any image
-    if (tag == 0x21) {                       // extension
+    if (!r.ok || tag == 0x3B)  // trailer (or truncated after last frame)
+      return frames.empty() ? CVT_ERR_DECODE : CVT_OK;
+    if (tag == 0x21) {  // extension
       uint8_t label = r.u8();
       if (label == 0xF9) {  // graphic control
         uint8_t sz = r.u8();
         uint8_t flags = r.u8();
         r.u16();  // delay
         uint8_t tindex = r.u8();
-        if (flags & 0x01) transparent = tindex;
+        transparent = (flags & 0x01) ? tindex : -1;
+        disposal = (flags >> 2) & 0x07;
         if (sz > 4) r.skip(sz - 4);
         if (r.u8() != 0) return CVT_ERR_DECODE;  // terminator
       } else {
@@ -443,73 +463,136 @@ int cvt_decode_gif(const uint8_t* data, size_t len, uint8_t** out, int* h,
       continue;
     }
     if (tag != 0x2C) return CVT_ERR_DECODE;
-    break;  // image descriptor
-  }
 
-  const int left = r.u16(), top = r.u16();
-  const int fw = r.u16(), fh = r.u16();
-  const uint8_t ipacked = r.u8();
-  if (!r.ok || fw <= 0 || fh <= 0 || left + fw > W || top + fh > H)
-    return CVT_ERR_DECODE;
+    // ---- image descriptor ----
+    GifFrame f;
+    f.left = r.u16(); f.top = r.u16();
+    f.fw = r.u16(); f.fh = r.u16();
+    const uint8_t ipacked = r.u8();
+    if (!r.ok || f.fw <= 0 || f.fh <= 0) return CVT_ERR_DECODE;
+    if (static_cast<size_t>(f.fw) * f.fh > (1u << 30)) return CVT_ERR_DECODE;
 
-  uint8_t lct[256][3];
-  const uint8_t (*palette)[3] = gct;
-  int pal_size = gct_size;
-  if (ipacked & 0x80) {
-    pal_size = 2 << (ipacked & 0x07);
-    for (int i = 0; i < pal_size; ++i)
-      for (int k = 0; k < 3; ++k) lct[i][k] = r.u8();
-    palette = lct;
-  }
-  if (pal_size == 0) return CVT_ERR_DECODE;
-
-  const int min_code_size = r.u8();
-  std::vector<uint8_t> indices;
-  indices.reserve(static_cast<size_t>(fw) * fh);
-  if (!gif_lzw(r, min_code_size, indices, static_cast<size_t>(fw) * fh + 4096))
-    return CVT_ERR_DECODE;
-  if (indices.size() < static_cast<size_t>(fw) * fh) return CVT_ERR_DECODE;
-
-  uint8_t* img = static_cast<uint8_t*>(std::malloc(static_cast<size_t>(W) * H * 3));
-  if (!img) return CVT_ERR_ALLOC;
-  // canvas background
-  uint8_t bg[3] = {0, 0, 0};
-  if (gct_size > 0 && bg_index < gct_size) {
-    bg[0] = gct[bg_index][0]; bg[1] = gct[bg_index][1]; bg[2] = gct[bg_index][2];
-  }
-  for (size_t i = 0; i < static_cast<size_t>(W) * H; ++i) {
-    img[3 * i] = bg[0]; img[3 * i + 1] = bg[1]; img[3 * i + 2] = bg[2];
-  }
-
-  // frame rows, honoring interlacing (4 passes: start 0/4/2/1, step 8/8/4/2)
-  const int starts[4] = {0, 4, 2, 1};
-  const int steps[4] = {8, 8, 4, 2};
-  size_t src_row = 0;
-  auto blit_row = [&](int fy) {
-    const uint8_t* src = indices.data() + src_row * fw;
-    uint8_t* dst = img + (static_cast<size_t>(top + fy) * W + left) * 3;
-    for (int x = 0; x < fw; ++x) {
-      int idx = src[x];
-      if (idx == transparent) { dst += 3; continue; }
-      if (idx >= pal_size) idx = 0;
-      *dst++ = palette[idx][0];
-      *dst++ = palette[idx][1];
-      *dst++ = palette[idx][2];
+    f.pal_size = gct_size;
+    std::memcpy(f.palette, gct, sizeof(gct));
+    if (ipacked & 0x80) {
+      f.pal_size = 2 << (ipacked & 0x07);
+      for (int i = 0; i < f.pal_size; ++i)
+        for (int k = 0; k < 3; ++k) f.palette[i][k] = r.u8();
     }
-    ++src_row;
-  };
-  if (ipacked & 0x40) {
-    for (int pass = 0; pass < 4; ++pass)
-      for (int fy = starts[pass]; fy < fh; fy += steps[pass]) blit_row(fy);
-  } else {
-    for (int fy = 0; fy < fh; ++fy) blit_row(fy);
-  }
+    if (f.pal_size == 0) return CVT_ERR_DECODE;
+    f.transparent = transparent;
+    f.disposal = disposal;
+    transparent = -1;  // GCE consumed
+    disposal = 0;
 
-  *out = img;
-  *h = H;
-  *w = W;
+    const int min_code_size = r.u8();
+    std::vector<uint8_t> raw;
+    raw.reserve(static_cast<size_t>(f.fw) * f.fh);
+    if (!gif_lzw(r, min_code_size, raw, static_cast<size_t>(f.fw) * f.fh + 4096))
+      return CVT_ERR_DECODE;
+    if (raw.size() < static_cast<size_t>(f.fw) * f.fh) return CVT_ERR_DECODE;
+
+    // undo interlacing so indices are plain row-major
+    if (ipacked & 0x40) {
+      const int starts[4] = {0, 4, 2, 1};
+      const int steps[4] = {8, 8, 4, 2};
+      f.indices.resize(static_cast<size_t>(f.fw) * f.fh);
+      size_t src_row = 0;
+      for (int pass = 0; pass < 4; ++pass)
+        for (int fy = starts[pass]; fy < f.fh; fy += steps[pass], ++src_row)
+          std::memcpy(f.indices.data() + static_cast<size_t>(fy) * f.fw,
+                      raw.data() + src_row * f.fw, f.fw);
+    } else {
+      raw.resize(static_cast<size_t>(f.fw) * f.fh);
+      f.indices = std::move(raw);
+    }
+    frames.push_back(std::move(f));
+    if (max_frames > 0 && static_cast<int>(frames.size()) >= max_frames)
+      return CVT_OK;
+  }
+}
+
+// Composite parsed frames onto canvases, reference-compatible
+// (csrc/io/image/cpu/decode_gif.cpp:104-160): frame i starts from frame i-1
+// iff its OWN disposal method is DISPOSE_DO_NOT (1), else from the
+// background color; transparent pixels keep the underlying canvas.
+int gif_composite(const std::vector<GifFrame>& frames, int W, int H,
+                  const uint8_t bg[3], uint8_t** out, int* n_out, int* h,
+                  int* w, int* c) {
+  // reference: canvas = max(logical screen, FIRST frame) in each dim
+  const int out_w = std::max(W, frames[0].fw);
+  const int out_h = std::max(H, frames[0].fh);
+  const size_t npix = static_cast<size_t>(out_w) * out_h;
+  const size_t nframes = frames.size();
+  uint8_t* buf = static_cast<uint8_t*>(std::malloc(nframes * npix * 3));
+  if (!buf) return CVT_ERR_ALLOC;
+
+  for (size_t i = 0; i < nframes; ++i) {
+    uint8_t* img = buf + i * npix * 3;
+    const GifFrame& f = frames[i];
+    if (i > 0 && f.disposal == 1) {  // DISPOSE_DO_NOT: draw on previous
+      std::memcpy(img, buf + (i - 1) * npix * 3, npix * 3);
+    } else {
+      for (size_t p = 0; p < npix; ++p) {
+        img[3 * p] = bg[0]; img[3 * p + 1] = bg[1]; img[3 * p + 2] = bg[2];
+      }
+    }
+    // blit, clipped to the canvas
+    const int y0 = std::max(0, -f.top), y1 = std::min(f.fh, out_h - f.top);
+    const int x0 = std::max(0, -f.left), x1 = std::min(f.fw, out_w - f.left);
+    for (int fy = y0; fy < y1; ++fy) {
+      const uint8_t* src = f.indices.data() + static_cast<size_t>(fy) * f.fw;
+      uint8_t* dst =
+          img + (static_cast<size_t>(f.top + fy) * out_w + f.left + x0) * 3;
+      for (int x = x0; x < x1; ++x) {
+        int idx = src[x];
+        if (idx == f.transparent) { dst += 3; continue; }
+        if (idx >= f.pal_size) idx = 0;
+        *dst++ = f.palette[idx][0];
+        *dst++ = f.palette[idx][1];
+        *dst++ = f.palette[idx][2];
+      }
+    }
+  }
+  *out = buf;
+  *n_out = static_cast<int>(nframes);
+  *h = out_h;
+  *w = out_w;
   *c = 3;
   return CVT_OK;
+}
+
+}  // namespace
+
+// All frames of a (possibly animated) GIF as one (N, H, W, 3) buffer
+// (counterpart of the reference's decode_gif over vendored giflib,
+// csrc/io/image/cpu/decode_gif.cpp:55-160, which returns N frames with
+// DISPOSE_DO_NOT / background compositing and GIF89a transparency).
+int cvt_decode_gif_frames(const uint8_t* data, size_t len, uint8_t** out,
+                          int* n, int* h, int* w, int* c) {
+  if (!data || !out || !n || !h || !w || !c) return CVT_ERR_ARGS;
+  std::vector<GifFrame> frames;
+  int W = 0, H = 0;
+  uint8_t bg[3];
+  int rc = gif_parse(data, len, /*max_frames=*/0, frames, &W, &H, bg);
+  if (rc != CVT_OK) return rc;
+  if (frames.empty()) return CVT_ERR_DECODE;
+  return gif_composite(frames, W, H, bg, out, n, h, w, c);
+}
+
+// First frame only (HWC), kept for cvt_decode_image and speed: parsing
+// stops after the first image descriptor.
+int cvt_decode_gif(const uint8_t* data, size_t len, uint8_t** out, int* h,
+                   int* w, int* c) {
+  if (!data || !out || !h || !w || !c) return CVT_ERR_ARGS;
+  std::vector<GifFrame> frames;
+  int W = 0, H = 0;
+  uint8_t bg[3];
+  int rc = gif_parse(data, len, /*max_frames=*/1, frames, &W, &H, bg);
+  if (rc != CVT_OK) return rc;
+  if (frames.empty()) return CVT_ERR_DECODE;
+  int n = 0;
+  return gif_composite(frames, W, H, bg, out, &n, h, w, c);
 }
 
 // Decode any supported format by sniffing (reference decode_image.cpp:31-83).

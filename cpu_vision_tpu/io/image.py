@@ -78,7 +78,10 @@ def _load_lib():
         return _LIB
     _LIB_TRIED = True
     path = _so_path()
-    if not os.path.exists(path) and not _build_shim():
+    src = os.path.join(os.path.dirname(__file__), "_codecs.cpp")
+    stale = (os.path.exists(path) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(path))
+    if (not os.path.exists(path) or stale) and not _build_shim() and not os.path.exists(path):
         return None
     try:
         lib = ctypes.CDLL(path)
@@ -109,6 +112,20 @@ def _load_lib():
             ctypes.POINTER(u8p),
             ctypes.POINTER(ctypes.c_size_t),
         ]
+    try:
+        fn = lib.cvt_decode_gif_frames
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(u8p),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+    except AttributeError:  # stale prebuilt .so without the symbol
+        pass
     lib.cvt_free.restype = None
     lib.cvt_free.argtypes = [u8p]
     lib.cvt_sniff.restype = ctypes.c_int
@@ -331,15 +348,52 @@ def decode_heic(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> n
     return _apply_mode(_heif_py.decode(bytes(data)), mode)
 
 
+def _native_decode_gif_frames(data: bytes) -> Optional[np.ndarray]:
+    """(N, H, W, 3) uint8 from the native shim, or None if unavailable."""
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "cvt_decode_gif_frames"):
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = u8p()
+    n = ctypes.c_int()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.cvt_decode_gif_frames(
+        data, len(data), ctypes.byref(out), ctypes.byref(n),
+        ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
+    if rc != 0:
+        raise ValueError(f"cvt_decode_gif_frames failed with code {rc}")
+    total = n.value * h.value * w.value * c.value
+    arr = np.ctypeslib.as_array(out, shape=(total,)).copy().reshape(
+        n.value, h.value, w.value, c.value)
+    lib.cvt_free(out)
+    return arr
+
+
+def _pil_decode_gif_frames(data: bytes) -> np.ndarray:
+    """PIL fallback: every frame composited, (N, H, W, 3) uint8."""
+    import io as _io
+
+    from PIL import Image as PILImage, ImageSequence
+
+    img = PILImage.open(_io.BytesIO(data))
+    frames = [np.asarray(f.convert("RGB")) for f in ImageSequence.Iterator(img)]
+    return np.stack(frames, axis=0)
+
+
 def decode_gif(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
-    """GIF bytes -> HWC uint8 RGB, first frame composited onto the logical
-    canvas (reference ``decode_gif`` over vendored giflib,
-    ``csrc/io/image/cpu/decode_gif.cpp``; here a self-contained LZW decoder
-    in ``_codecs.cpp``)."""
-    arr = _native_decode("cvt_decode_gif", data)
-    if arr is None:
-        arr = _pil_decode(data)
-    return _apply_mode(arr, mode)
+    """GIF bytes -> uint8 RGB frames composited onto the logical canvas:
+    (N, H, W, C) for animated GIFs, squeezed to (H, W, C) when there is a
+    single frame — the NHWC counterpart of the reference ``decode_gif``
+    over vendored giflib (``csrc/io/image/cpu/decode_gif.cpp:55-160``:
+    DISPOSE_DO_NOT / background disposal, GIF89a transparency, squeeze on
+    one frame); here a self-contained LZW decoder in ``_codecs.cpp``."""
+    frames = _native_decode_gif_frames(data)
+    if frames is None:
+        frames = _pil_decode_gif_frames(data)
+    out = np.stack([_apply_mode(f, mode) for f in frames], axis=0)
+    return out[0] if out.shape[0] == 1 else out
 
 
 def _as_hwc_u8(image) -> np.ndarray:

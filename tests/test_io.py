@@ -160,16 +160,156 @@ class TestGIF:
         out = decode_image(buf.getvalue())
         np.testing.assert_array_equal(out, np.asarray(pil.convert("RGB")))
 
-    def test_animated_first_frame(self, rng):
+    def test_animated_returns_all_frames(self, rng):
+        """Animated GIF -> (N, H, W, 3), frame 0 equal to the still decode
+        (reference decode_gif returns every frame,
+        csrc/io/image/cpu/decode_gif.cpp:100-160)."""
         from cpu_vision_tpu.io import decode_gif
 
         img = rng.integers(0, 256, (20, 14, 3), dtype=np.uint8)
         f0 = PILImage.fromarray(img).quantize(colors=32)
         f1 = PILImage.fromarray(255 - img).quantize(colors=32)
         buf = _io.BytesIO()
-        f0.save(buf, "GIF", save_all=True, append_images=[f1])
+        f0.save(buf, "GIF", save_all=True, append_images=[f1], disposal=1)
         out = decode_gif(buf.getvalue())
-        np.testing.assert_array_equal(out, np.asarray(f0.convert("RGB")))
+        assert out.shape[0] == 2 and out.shape[3] == 3
+        np.testing.assert_array_equal(out[0], np.asarray(f0.convert("RGB")))
+
+    def test_animated_matches_pil_compositing(self, rng):
+        """3 delta-optimised frames, disposal=DO_NOT: our compositing must
+        match PIL's frame-by-frame render exactly."""
+        from PIL import ImageSequence
+
+        from cpu_vision_tpu.io import decode_gif
+
+        base = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+        frames = [PILImage.fromarray(base).quantize(colors=64)]
+        for k in (1, 2):
+            nxt = base.copy()
+            nxt[4 * k : 4 * k + 6, 3 * k : 3 * k + 9] = [255 - 80 * k, 10 * k, 200]
+            frames.append(PILImage.fromarray(nxt).quantize(colors=64))
+        buf = _io.BytesIO()
+        frames[0].save(buf, "GIF", save_all=True, append_images=frames[1:], disposal=1)
+        out = decode_gif(buf.getvalue())
+        pil = PILImage.open(_io.BytesIO(buf.getvalue()))
+        golden = np.stack(
+            [np.asarray(f.convert("RGB")) for f in ImageSequence.Iterator(pil)], axis=0
+        )
+        assert out.shape == golden.shape
+        np.testing.assert_array_equal(out, golden)
+
+    # ---- hand-built GIFs: pin the exact disposal/transparency semantics ----
+
+    @staticmethod
+    def _lzw_uncompressed(indices):
+        """LZW stream for palette indices < 128 using the 'uncompressed'
+        trick: min_code_size=7, a clear code every 100 symbols so the code
+        width never grows past 8 bits."""
+        CLEAR, EOI = 128, 129
+        codes = []
+        for i, idx in enumerate(indices):
+            if i % 100 == 0:
+                codes.append(CLEAR)
+            codes.append(int(idx))
+        codes.append(EOI)
+        bits = bytearray()
+        acc = nbits = 0
+        for code in codes:
+            acc |= code << nbits
+            nbits += 8
+            while nbits >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            bits.append(acc & 0xFF)
+        out = bytearray([7])  # min code size
+        for off in range(0, len(bits), 255):
+            chunk = bits[off : off + 255]
+            out.append(len(chunk))
+            out.extend(chunk)
+        out.append(0)
+        return bytes(out)
+
+    @classmethod
+    def _build_gif(cls, w, h, palette, frames, bg_index=0):
+        """frames: list of (left, top, fw, fh, indices, disposal,
+        transparent_or_None)."""
+        import struct
+
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HH", w, h)
+        out += bytes([0x86, bg_index, 0])  # GCT present, 128 entries
+        pal = bytearray()
+        for r, g, b in palette:
+            pal += bytes([r, g, b])
+        pal += bytes(3 * (128 - len(palette)))
+        out += pal
+        for left, top, fw, fh, indices, disposal, transparent in frames:
+            flags = (disposal & 0x7) << 2
+            tidx = 0
+            if transparent is not None:
+                flags |= 1
+                tidx = transparent
+            out += bytes([0x21, 0xF9, 4, flags, 0, 0, tidx, 0])
+            out += bytes([0x2C]) + struct.pack("<HHHH", left, top, fw, fh) + bytes([0])
+            out += cls._lzw_uncompressed(indices)
+        out.append(0x3B)
+        return bytes(out)
+
+    def test_partial_frame_do_not_dispose_and_transparency(self):
+        """Frame 1 is a partial region with a transparent hole and
+        disposal=DO_NOT: pixels outside the region and under the hole keep
+        frame 0 (reference decode_gif.cpp:131-137,146-149)."""
+        from cpu_vision_tpu.io import decode_gif
+
+        palette = [(0, 0, 255), (255, 0, 0), (0, 255, 0), (9, 9, 9)]
+        f0 = np.full((8, 10), 1, np.uint8)  # all red
+        region = np.full((3, 4), 2, np.uint8)  # green block ...
+        region[1, 1] = 3  # ... with a transparent hole (index 3)
+        data = self._build_gif(
+            10, 8, palette,
+            [(0, 0, 10, 8, f0.ravel(), 1, None),
+             (2, 3, 4, 3, region.ravel(), 1, 3)],
+        )
+        out = decode_gif(data)
+        assert out.shape == (2, 8, 10, 3)
+        np.testing.assert_array_equal(out[0], np.broadcast_to([255, 0, 0], (8, 10, 3)))
+        expect = out[0].copy()
+        expect[3:6, 2:6] = [0, 255, 0]
+        expect[4, 3] = [255, 0, 0]  # transparent hole shows frame 0
+        np.testing.assert_array_equal(out[1], expect)
+
+    def test_partial_frame_background_disposal(self):
+        """A frame whose own disposal is not DO_NOT starts from the
+        background color over the whole canvas (reference
+        decode_gif.cpp:138-145 + background default)."""
+        from cpu_vision_tpu.io import decode_gif
+
+        palette = [(7, 8, 9), (255, 0, 0), (0, 255, 0)]
+        f0 = np.full((6, 6), 1, np.uint8)
+        f1 = np.full((2, 2), 2, np.uint8)
+        data = self._build_gif(
+            6, 6, palette,
+            [(0, 0, 6, 6, f0.ravel(), 1, None),
+             (1, 1, 2, 2, f1.ravel(), 2, None)],  # disposal=background
+            bg_index=0,
+        )
+        out = decode_gif(data)
+        assert out.shape == (2, 6, 6, 3)
+        expect = np.broadcast_to([7, 8, 9], (6, 6, 3)).copy()
+        expect[1:3, 1:3] = [0, 255, 0]
+        np.testing.assert_array_equal(out[1], expect)
+
+    def test_interlaced_animated(self, rng):
+        from cpu_vision_tpu.io import decode_gif
+
+        img = rng.integers(0, 256, (19, 13, 3), dtype=np.uint8)
+        pil = PILImage.fromarray(img).quantize(colors=32)
+        buf = _io.BytesIO()
+        pil.save(buf, "GIF", interlace=True)
+        out = decode_gif(buf.getvalue())
+        np.testing.assert_array_equal(out, np.asarray(pil.convert("RGB")))
 
     def test_damaged_raises(self):
         from cpu_vision_tpu.io import decode_gif
