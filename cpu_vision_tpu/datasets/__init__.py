@@ -3,8 +3,8 @@ batching/loading helpers (counterpart of ``torchvision/datasets``)."""
 
 from .cifar import CIFAR10, CIFAR100  # noqa: F401
 from .coco import CocoCaptions, CocoDetection  # noqa: F401
-from .extra import STL10, SVHN, ImageNet  # noqa: F401
-from .extra2 import CelebA, FER2013, LFWPeople, Omniglot  # noqa: F401
+from .classification import STL10, SVHN, ImageNet  # noqa: F401
+from .faces import CelebA, FER2013, LFWPeople, Omniglot  # noqa: F401
 from .simple import (  # noqa: F401
     DTD,
     Caltech101,
@@ -16,7 +16,7 @@ from .simple import (  # noqa: F401
     GTSRB,
     OxfordIIITPet,
 )
-from .extra3 import (  # noqa: F401
+from .fine_grained import (  # noqa: F401
     PCAM,
     SEMEION,
     SUN397,
@@ -29,7 +29,7 @@ from .extra3 import (  # noqa: F401
     RenderedSST2,
     StanfordCars,
 )
-from .extra4 import (  # noqa: F401
+from .detection_misc import (  # noqa: F401
     EMNIST,
     LSUN,
     QMNIST,
@@ -44,7 +44,7 @@ from .extra4 import (  # noqa: F401
     SBDataset,
     WIDERFace,
 )
-from .extra5 import HMDB51, UCF101, FrameVideoClips, Kinetics  # noqa: F401
+from .video import HMDB51, UCF101, FrameVideoClips, Kinetics  # noqa: F401
 from .flow import HD1K, FlyingChairs, FlyingThings3D, KittiFlow, Sintel  # noqa: F401
 from .stereo import (  # noqa: F401
     CarlaStereo,

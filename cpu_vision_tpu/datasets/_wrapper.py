@@ -137,7 +137,7 @@ def wrap_dataset_for_transforms_v2(dataset, target_keys=None):
         VOCSegmentation,
         WIDERFace,
     )
-    from .extra5 import HMDB51, UCF101, Kinetics
+    from .video import HMDB51, UCF101, Kinetics
 
     if not (target_keys is None or target_keys == "all"
             or (hasattr(target_keys, "__contains__")

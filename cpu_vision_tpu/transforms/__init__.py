@@ -26,7 +26,7 @@ from ._color import (  # noqa: F401
     RGB,
 )
 from ._detection_aug import JPEG, RandomIoUCrop  # noqa: F401
-from ._container import Compose, RandomApply, RandomChoice, RandomOrder  # noqa: F401
+from ._container import Compose, RandomApply, RandomChoice, RandomOrder, RandomTransforms  # noqa: F401
 from ._geometry import (  # noqa: F401
     CenterCrop,
     ElasticTransform,

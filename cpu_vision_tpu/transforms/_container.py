@@ -10,7 +10,25 @@ import numpy as np
 
 from ._transform import Transform
 
-__all__ = ["Compose", "RandomApply", "RandomChoice", "RandomOrder"]
+__all__ = ["Compose", "RandomApply", "RandomChoice", "RandomOrder", "RandomTransforms"]
+
+
+class RandomTransforms(Transform):
+    """Base class for a list of transformations with randomness (reference
+    ``transforms/transforms.py:485``; the v1 base of RandomOrder/Choice).
+    Kept for namespace parity — subclasses override ``__call__``."""
+
+    def __init__(self, transforms: Sequence[Transform]):
+        if not isinstance(transforms, Sequence):
+            raise TypeError("Argument transforms should be a sequence")
+        self.transforms = list(transforms)
+
+    def __call__(self, *args, **kwargs):
+        raise NotImplementedError()
+
+    def __repr__(self):
+        inner = "\n".join(f"    {t}" for t in self.transforms)
+        return f"{self.__class__.__name__}(\n{inner}\n)"
 
 
 class Compose(Transform):

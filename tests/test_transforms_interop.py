@@ -43,6 +43,15 @@ class TestNamespaceParity:
                          if t and t[0].isupper())
         assert sorted(n for n in names if not hasattr(v2, n)) == []
 
+    def test_v1_class_namespace_closure(self):
+        """Every public v1 transform class name resolves (reference
+        ``torchvision/transforms/transforms.py`` __all__)."""
+        src = open("/root/reference/torchvision/transforms/transforms.py").read()
+        m = re.search(r"__all__ = \[(.*?)\]", src, re.S)
+        names = re.findall(r'"(\w+)"', m.group(1))
+        missing = [n for n in names if not hasattr(T, n)]
+        assert missing == [], missing
+
 
 class TestInterop:
     @pytest.fixture()
