@@ -113,6 +113,63 @@ def _reference_fasterrcnn_cpu_ips(rng) -> float:
     return 8 / dt
 
 
+def _host_time(fn, iters=20, repeats=3):
+    """Best-of-repeats mean wall time for a host (non-jax) callable."""
+    fn()  # warmup
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def _codec_rows(rng, rows):
+    """jpeg/png decode+encode throughput of the native codec stack, with
+    PIL as the baseline ratio (counterpart of the reference's
+    benchmarks/encoding_decoding.py:34-60, which times torchvision
+    encode/decode_jpeg against batch size/threads on this same axis)."""
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    from cpu_vision_tpu.io import decode_jpeg, decode_png, encode_jpeg, encode_png
+
+    # photo-like synthetic content: smooth gradients + texture + edges so
+    # entropy coding sees realistic symbol statistics
+    h, w = 512, 768
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 128 + 60 * np.sin(xx / 37.0) + 40 * np.cos(yy / 23.0)
+    img = np.stack([base, base * 0.8 + 30, 255 - base], axis=2)
+    img += rng.normal(0, 12, (h, w, 3))
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    img[100:200, 100:400] = [200, 30, 30]
+    mpix = h * w / 1e6
+
+    jpeg_bytes = encode_jpeg(img, quality=85)
+    png_bytes = encode_png(img)
+
+    def pil_t(fn):
+        return _host_time(fn, iters=10)
+
+    configs = [
+        ("jpeg_decode", lambda: decode_jpeg(jpeg_bytes),
+         lambda: np.asarray(PILImage.open(_io.BytesIO(jpeg_bytes)))),
+        ("jpeg_encode", lambda: encode_jpeg(img, quality=85),
+         lambda: PILImage.fromarray(img).save(_io.BytesIO(), "JPEG", quality=85)),
+        ("png_decode", lambda: decode_png(png_bytes),
+         lambda: np.asarray(PILImage.open(_io.BytesIO(png_bytes)))),
+        ("png_encode", lambda: encode_png(img),
+         lambda: PILImage.fromarray(img).save(_io.BytesIO(), "PNG")),
+    ]
+    for name, ours, pil in configs:
+        dt = _host_time(ours, iters=10)
+        pil_dt = pil_t(pil)
+        rows.append(emit(f"{name}_mpix_s", mpix / dt, "MPix/s",
+                         baseline=mpix / pil_dt))
+
+
 def main():
     from cpu_vision_tpu import ops
     from cpu_vision_tpu.ops.cnn import cnn_forward, cnn_init
@@ -120,6 +177,9 @@ def main():
 
     rng = np.random.default_rng(0)
     rows = []
+
+    # 0. native image codec stack (host CPU; vs_baseline = ratio over PIL)
+    _codec_rows(rng, rows)
 
     # 1. 512x512 gaussian+sobel (batch 32 to amortise dispatch)
     x = jnp.asarray(rng.random((32, 512, 512, 1), dtype=np.float32))
