@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ._api import register_model
-from .layers import StochasticDepth
+from .layers import DepthwiseConv, StochasticDepth
 
 __all__ = ["ConvNeXt", "convnext_tiny", "convnext_small", "convnext_base", "convnext_large"]
 
@@ -26,8 +26,11 @@ class CNBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        out = nn.Conv(self.dim, (7, 7), padding=[(3, 3), (3, 3)],
-                      feature_group_count=self.dim, dtype=self.dtype)(x)
+        # 7x7 depthwise as shifted-slice FMAs, not a grouped lax.conv (the
+        # few-lane MXU trap — see DepthwiseConv); name keeps the nn.Conv
+        # param slot
+        out = DepthwiseConv(self.dim, (7, 7), padding=[(3, 3), (3, 3)],
+                            dtype=self.dtype, name="Conv_0")(x)
         out = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(out)
         out = nn.Dense(4 * self.dim, dtype=self.dtype)(out)
         out = nn.gelu(out, approximate=False)

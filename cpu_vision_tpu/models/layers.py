@@ -19,6 +19,7 @@ from flax import linen as nn
 
 __all__ = [
     "Conv",
+    "DepthwiseConv",
     "ConvNormActivation",
     "Conv2dNormActivation",
     "SqueezeExcitation",
@@ -94,6 +95,80 @@ class PatchifyDense(nn.Module):
         return x.astype(self.dtype) @ w.astype(self.dtype) + bias.astype(self.dtype)
 
 
+class DepthwiseConv(nn.Module):
+    """Depthwise KxK conv as a shifted-slice FMA accumulation.
+
+    ``lax.conv`` with ``feature_group_count == C`` is the classic TPU trap:
+    each group is a 1-in/1-out-channel conv, so the MXU sees K*K tiny
+    matmuls with the channel dim padded to the 128-lane unit (measured 17%
+    MFU on convnext_tiny).  A depthwise conv is really an elementwise
+    stencil per channel: ``out = Σ_{i,j} shift(x, i, j) * w[i, j, :]`` —
+    K*K VPU FMAs with channels riding the lane unit at full width, which
+    XLA fuses into one bandwidth-bound pass (same design as
+    ``ops/filters.py:_depthwise_conv_valid``; reference semantics:
+    ``torchvision/models/convnext.py:62-92`` CNBlock's 7x7, groups=dim).
+
+    The parameter keeps ``nn.Conv``'s grouped HWIO kernel shape
+    ``(kh, kw, 1, C)`` + ``(C,)`` bias, so weight converters and
+    param-parity are unchanged — instantiate with ``name="Conv_0"`` to
+    occupy the same slot in the param tree.  Accumulation is f32 even for
+    bf16 activations (register-only upcast: HBM traffic stays bf16),
+    matching XLA's conv accumulator semantics.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        sy, sx = self.strides
+        dy, dx = self.kernel_dilation
+        c = x.shape[-1]
+        if c != self.features:
+            raise ValueError(
+                f"DepthwiseConv needs in_channels == features, got {c} vs {self.features}")
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, 1, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+
+        ekh, ekw = (kh - 1) * dy + 1, (kw - 1) * dx + 1  # effective extent
+        if self.padding == "SAME":
+            pads = [((ekh - 1) // 2, ekh // 2), ((ekw - 1) // 2, ekw // 2)]
+        elif self.padding == "VALID":
+            pads = [(0, 0), (0, 0)]
+        else:
+            pads = [tuple(p) for p in self.padding]
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), pads[0], pads[1], (0, 0)))
+        n, ph, pw, _ = xp.shape
+        oh = (ph - ekh) // sy + 1
+        ow = (pw - ekw) // sx + 1
+
+        # round-trip weights through the compute dtype (as nn.Conv casts
+        # them) before the f32 accumulation
+        k = kernel.astype(self.dtype).astype(jnp.float32)[:, :, 0, :]  # (kh, kw, C)
+        acc = None
+        for i in range(kh):
+            for j in range(kw):
+                y0, x0 = i * dy, j * dx
+                term = jax.lax.slice(
+                    xp,
+                    (0, y0, x0, 0),
+                    (n, y0 + (oh - 1) * sy + 1, x0 + (ow - 1) * sx + 1, c),
+                    (1, sy, sx, 1),
+                ).astype(jnp.float32) * k[i, j]
+                acc = term if acc is None else acc + term
+        if bias is not None:
+            acc = acc + bias.astype(jnp.float32)
+        return acc.astype(self.dtype)
+
+
 class FrozenBatchNorm(nn.Module):
     """BatchNorm with fixed statistics and affine params (reference
     ``FrozenBatchNorm2d``, ``ops/misc.py:13``): used by detection backbones
@@ -141,16 +216,25 @@ class ConvNormActivation(nn.Module):
         else:
             pad = self.padding
         use_bias = self.bias if self.bias is not None else self.norm is None
-        x = nn.Conv(
-            self.features,
-            k,
-            strides=_pair(self.strides),
-            padding=pad,
-            feature_group_count=self.groups,
-            kernel_dilation=d,
-            use_bias=use_bias,
-            dtype=self.dtype,
-        )(x)
+        if self.groups > 1 and self.groups == self.features and x.shape[-1] == self.features:
+            # fully-depthwise: shifted-slice FMAs instead of the grouped
+            # lax.conv lane trap (same param slot via name="Conv_0")
+            x = DepthwiseConv(
+                self.features, k, strides=_pair(self.strides), padding=pad,
+                kernel_dilation=d, use_bias=use_bias, dtype=self.dtype,
+                name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                k,
+                strides=_pair(self.strides),
+                padding=pad,
+                feature_group_count=self.groups,
+                kernel_dilation=d,
+                use_bias=use_bias,
+                dtype=self.dtype,
+            )(x)
         if self.norm == "batch":
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=self.eps, dtype=self.dtype)(x)

@@ -21,6 +21,11 @@ from .layers import PatchifyDense, StochasticDepth
 __all__ = ["SwinTransformer", "swin_t", "swin_s", "swin_b",
            "swin_v2_t", "swin_v2_s", "swin_v2_b"]
 
+# A/B levers (tools/swin_ab.py): route through the unfused XLA paths to
+# attribute device time between the fused kernels and the glue around them.
+FUSED_ATTENTION = True
+FUSED_MLP = True
+
 
 def _window_partition(x, ws: int):
     n, h, w, c = x.shape
@@ -221,7 +226,8 @@ class SwinBlock(nn.Module):
         # windows, which matches the reference only when no zero padding
         # mixes into a window (224-input swin never pads)
         attn_fusable = (
-            (not train or self.sd_prob == 0.0) and (ph, pw) == (h, w)
+            FUSED_ATTENTION
+            and (not train or self.sd_prob == 0.0) and (ph, pw) == (h, w)
             and c % 8 == 0
             and (4 * c * c * it + self.num_heads * nsq * nsq * 4
                  + 2 * gsel * nsq * c * (4 + it)
@@ -279,7 +285,7 @@ class SwinBlock(nn.Module):
         # dim to 128 (25%/50% lane waste) which still beats the layouts XLA
         # picks for the unfused stage-1/2 MLPs by an order of magnitude
         # (fusion.210: 4.6 ms/iter for a 0.3 ms-at-peak matmul).
-        fusable = ((not train or self.sd_prob == 0.0) and c % 8 == 0
+        fusable = (FUSED_MLP and (not train or self.sd_prob == 0.0) and c % 8 == 0
                    and (2 * c * dh * it <= 10_000_000 or dh % 256 == 0))
         if fusable:
             # fused MLP sub-block (ops/pallas/transformer_block.py):
