@@ -54,17 +54,25 @@ def _softmax_f32(s):
 def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
             bias_ref, mask_ref, ls_ref, o_ref, *, heads: int, scale: float,
             eps: float, dtype, v2: bool, masked: bool):
+    # S is padded to a sublane multiple (8) by the caller, so every
+    # per-window row slice below is tile-aligned and the LN/QKV/proj
+    # matmuls batch over ALL G windows at once: (G*S, C) rows fill the
+    # MXU's 128-row tiles, where the old per-window (49, C) matmuls left
+    # the array >60% idle.  Only the (S, S) score/AV matmuls stay
+    # per-window/per-head — a minor FLOP share (<=15% past stage 1).
     G, S, C = x_ref.shape
     hd = C // heads
     g32 = g_ref[...].astype(jnp.float32)
     b32 = b_ref[...].astype(jnp.float32)
     mask_p = mask_ref.shape[0] if masked else 1
-    for w in range(G):
-        x32 = x_ref[w].astype(jnp.float32)                      # (S, C)
-        h = x32.astype(dtype) if v2 else _ln_f32(x32, g32, b32, eps).astype(dtype)
-        qkv = jax.lax.dot_general(h, wqkv_ref[...], (((1,), (0,)), ((), ())),
+    x32 = x_ref[...].astype(jnp.float32).reshape(G * S, C)
+    h = x32.astype(dtype) if v2 else _ln_f32(x32, g32, b32, eps).astype(dtype)
+    qkv_all = jax.lax.dot_general(h, wqkv_ref[...], (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        qkv = qkv + bqkv_ref[...].astype(jnp.float32)            # (S, 3C) f32
+    qkv_all = qkv_all + bqkv_ref[...].astype(jnp.float32)        # (G*S, 3C)
+    outs_w = []
+    for w in range(G):
+        qkv = qkv_all[w * S:(w + 1) * S]
         outs = []
         for i in range(heads):
             q = qkv[:, i * hd:(i + 1) * hd]
@@ -91,13 +99,14 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
             outs.append(jax.lax.dot_general(
                 p, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
-        o = jnp.concatenate(outs, axis=-1).astype(dtype)         # (S, C)
-        o = jax.lax.dot_general(o, wo_ref[...], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        o = o + bo_ref[...].astype(jnp.float32)
-        if v2:
-            o = _ln_f32(o, g32, b32, eps)
-        o_ref[w] = (x32 + o).astype(o_ref.dtype)
+        outs_w.append(jnp.concatenate(outs, axis=-1).astype(dtype))  # (S, C)
+    o_all = jnp.concatenate(outs_w, axis=0)                      # (G*S, C)
+    o = jax.lax.dot_general(o_all, wo_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o = o + bo_ref[...].astype(jnp.float32)
+    if v2:
+        o = _ln_f32(o, g32, b32, eps)
+    o_ref[...] = (x32 + o).astype(o_ref.dtype).reshape(G, S, C)
 
 
 def pick_group(nw_total: int, nw_img: int, heads: int, masked: bool) -> int:
@@ -115,8 +124,20 @@ def pick_group(nw_total: int, nw_img: int, heads: int, masked: bool) -> int:
 
 def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
                 logit_scale, heads, scale, eps, v2, nw_img, interpret):
-    nw, s, c = x.shape
+    nw, s0, c = x.shape
     masked = mask is not None
+    # pad the token dim to a sublane multiple so the kernel's per-window
+    # row slices are tile-aligned and the group-batched QKV/proj matmuls
+    # need no relayout; padded KEYS get -1e9 in the bias (softmax-killed),
+    # padded query rows are computed and discarded below
+    s = -(-s0 // 8) * 8
+    if s != s0:
+        x = jnp.pad(x, ((0, 0), (0, s - s0), (0, 0)))
+        rel_bias = jnp.pad(rel_bias, ((0, 0), (0, s - s0), (0, 0)))
+        rel_bias = jnp.pad(rel_bias, ((0, 0), (0, 0), (0, s - s0)),
+                           constant_values=-1e9)
+        if masked:
+            mask = jnp.pad(mask, ((0, 0), (0, s - s0), (0, s - s0)))
     g = pick_group(nw, nw_img, heads, masked)
     if masked:
         p = min(g, nw_img)
@@ -128,7 +149,7 @@ def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
         mask_spec = pl.BlockSpec((1, s, s), lambda i: (0, 0, 0))
     if logit_scale is None:
         logit_scale = jnp.zeros((heads,), jnp.float32)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_kernel, heads=heads, scale=scale, eps=eps, dtype=w_qkv.dtype,
                 v2=v2, masked=masked),
         grid=(nw // g,),
@@ -151,6 +172,7 @@ def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
       b_qkv.reshape(1, 3 * c), w_o, b_o.reshape(1, c),
       rel_bias.astype(jnp.float32), mask_in.astype(jnp.float32),
       logit_scale.reshape(1, heads).astype(jnp.float32))
+    return out[:, :s0, :] if s != s0 else out
 
 
 def _ref_math(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
