@@ -109,6 +109,64 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     o_ref[...] = (x32 + o).astype(o_ref.dtype).reshape(G, S, C)
 
 
+def _kernel_packed(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                   biasp_ref, maskp_ref, m1_ref, o_ref, *, heads: int,
+                   scale: float, eps: float, dtype, masked: bool):
+    """Head-PACKED window attention for small head counts (swin stages 1-2).
+
+    The per-(window, head) loop of ``_kernel`` issues ~6 tiny matmuls and
+    ~6 cross-lane reductions per window; on v5e that granularity measured
+    2.4% of MXU peak at stage-1 shapes (15.4 ms vs a 0.38 ms FLOP floor,
+    G-sweep flat — per-op overhead, not per-program).  Here every head is
+    computed in ONE matmul chain per window via a constant block
+    channel-mask M1 (heads*S, C), M1[h*S+j, c] = [c in head h]:
+
+      scores:  Q (S, C) x (tile_rows(K, heads) * M1)^T      -> (S, heads*S)
+      softmax: global-row-max subtract, exp; denominator D = E @ M1
+               gives the PER-HEAD key-sum broadcast to that head's
+               channels (one matmul instead of per-head lane reductions)
+      AV:      E @ (tile_rows(V, heads) * M1)               -> (S, C)
+               cross-head terms vanish because M1 zeroes them
+      out:     AV / D
+
+    All contractions are C- or heads*S-wide (96-336 lanes at stages 1-2)
+    instead of hd=32, trading ~heads-x redundant score FLOPs (minor at
+    these stages) for full-width MXU ops.
+    """
+    G, S, C = x_ref.shape
+    HS = heads * S
+    g32 = g_ref[...].astype(jnp.float32)
+    b32 = b_ref[...].astype(jnp.float32)
+    m1 = m1_ref[...].astype(dtype)                           # (HS, C)
+    x32 = x_ref[...].astype(jnp.float32).reshape(G * S, C)
+    h = _ln_f32(x32, g32, b32, eps).astype(dtype)
+    qkv_all = jax.lax.dot_general(h, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    qkv_all = qkv_all + bqkv_ref[...].astype(jnp.float32)    # (G*S, 3C)
+    qkv_all = qkv_all.reshape(G, S, 3 * C)
+    q = (qkv_all[..., :C] * scale).astype(dtype)
+    k = qkv_all[..., C:2 * C].astype(dtype)
+    v = qkv_all[..., 2 * C:].astype(dtype)
+    k_aug = jnp.concatenate([k] * heads, axis=1) * m1[None]  # (G, HS, C)
+    s_full = jax.lax.dot_general(q, k_aug, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    s_full = s_full + biasp_ref[...][None]                   # (G, S, HS)
+    if masked:
+        s_full = s_full + maskp_ref[...]                     # (G, S, HS)
+    e = jnp.exp(s_full - jnp.max(s_full, axis=-1, keepdims=True)).astype(dtype)
+    v_aug = jnp.concatenate([v] * heads, axis=1) * m1[None]  # (G, HS, C)
+    av = jax.lax.dot_general(e, v_aug, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    d = jax.lax.dot_general(e.reshape(G * S, HS), m1,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_all = (av.reshape(G * S, C) / jnp.maximum(d, 1e-30)).astype(dtype)
+    o = jax.lax.dot_general(o_all, wo_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o = o + bo_ref[...].astype(jnp.float32)
+    o_ref[...] = (x32 + o).astype(o_ref.dtype).reshape(G, S, C)
+
+
 def pick_group(nw_total: int, nw_img: int, heads: int, masked: bool) -> int:
     """Largest G <= 32 dividing the window count with G*heads bounded (the
     kernel unrolls windows x heads), and compatible with the mask period
@@ -139,6 +197,13 @@ def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
         if masked:
             mask = jnp.pad(mask, ((0, 0), (0, s - s0), (0, s - s0)))
     g = pick_group(nw, nw_img, heads, masked)
+    # head-packed path (v1, small head counts): one matmul chain per
+    # window across all heads — see _kernel_packed.  The heads*S bound
+    # keeps the redundant-score-FLOP factor (= heads) profitable.
+    if not v2 and heads * s <= 512 and c % heads == 0:
+        return _fwd_pallas_packed(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o,
+                                  rel_bias, mask, heads, scale, eps, nw_img,
+                                  g, s0, s, interpret)
     if masked:
         p = min(g, nw_img)
         mask_spec = pl.BlockSpec(
@@ -172,6 +237,56 @@ def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
       b_qkv.reshape(1, 3 * c), w_o, b_o.reshape(1, c),
       rel_bias.astype(jnp.float32), mask_in.astype(jnp.float32),
       logit_scale.reshape(1, heads).astype(jnp.float32))
+    return out[:, :s0, :] if s != s0 else out
+
+
+def _fwd_pallas_packed(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
+                       heads, scale, eps, nw_img, g, s0, s, interpret):
+    nw, _, c = x.shape
+    masked = mask is not None
+    hs = heads * s
+    hd = c // heads
+    # M1[h*S+j, ch] = 1 iff ch belongs to head h
+    m1 = np.zeros((hs, c), np.float32)
+    for h in range(heads):
+        m1[h * s:(h + 1) * s, h * hd:(h + 1) * hd] = 1.0
+    # (heads, S, S) -> (S, heads*S): bias_packed[i, h*S+j] = bias[h, i, j]
+    bias_packed = rel_bias.astype(jnp.float32).transpose(1, 0, 2).reshape(s, hs)
+    if masked:
+        # (nw_img, S, heads*S); the kernel adds a (g, S, heads*S) block
+        # aligned with its windows, so tile up when g spans whole images
+        mask_packed = jnp.tile(mask.astype(jnp.float32), (1, 1, heads))
+        if g > nw_img:  # nw_img | g (pick_group invariant)
+            mask_packed = jnp.tile(mask_packed, (g // nw_img, 1, 1))
+            mask_spec = pl.BlockSpec((g, s, hs), lambda i: (0, 0, 0))
+        else:           # g | nw_img
+            mask_spec = pl.BlockSpec(
+                (g, s, hs), lambda i, n=nw_img, g=g: ((i * g % n) // g, 0, 0))
+    else:
+        mask_packed = jnp.zeros((1, s, hs), jnp.float32)
+        mask_spec = pl.BlockSpec((1, s, hs), lambda i: (0, 0, 0))
+    out = pl.pallas_call(
+        partial(_kernel_packed, heads=heads, scale=scale, eps=eps,
+                dtype=w_qkv.dtype, masked=masked),
+        grid=(nw // g,),
+        in_specs=[
+            pl.BlockSpec((g, s, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((s, hs), lambda i: (0, 0)),
+            mask_spec,
+            pl.BlockSpec((hs, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nw, s, c), x.dtype),
+        interpret=interpret,
+    )(x, ln_g.reshape(1, c), ln_b.reshape(1, c), w_qkv,
+      b_qkv.reshape(1, 3 * c), w_o, b_o.reshape(1, c), bias_packed,
+      mask_packed, jnp.asarray(m1))
     return out[:, :s0, :] if s != s0 else out
 
 

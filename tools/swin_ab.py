@@ -6,7 +6,9 @@ the 10.5%-MFU gap (BENCH_NOTES) can be attributed to: the fused Pallas
 window-attention kernel, the fused MLP kernel, the roll/partition glue, or
 a specific stage's shapes.
 
-Usage:  python tools/swin_ab.py [batch]
+Usage:  python tools/swin_ab.py [batch] [section]
+        section: "matrix" (fused/unfused combos), "fused" (just the fused
+        config), "stages" (per-stage microbench); default "fused".
 """
 
 import os
@@ -19,6 +21,11 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_compile_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def _sync(out):
@@ -42,14 +49,18 @@ def bench(fn, *args, iters=10, warmup=2, repeats=2):
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    section = sys.argv[2] if len(sys.argv) > 2 else "fused"
     from cpu_vision_tpu import models
     from cpu_vision_tpu.models import swin as swin_mod
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, 224, 224, 3), dtype=np.float32)).astype(jnp.bfloat16)
 
+    combos = {"matrix": ((True, True), (True, False), (False, True), (False, False)),
+              "fused": ((True, True),),
+              "stages": ()}[section]
     print(f"== swin_t b{batch} fused/unfused matrix (4.49 GMACs/img) ==")
-    for fa, fm in ((True, True), (True, False), (False, True), (False, False)):
+    for fa, fm in combos:
         swin_mod.FUSED_ATTENTION, swin_mod.FUSED_MLP = fa, fm
         m = models.get_model("swin_t", num_classes=1000, dtype=jnp.bfloat16)
         variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False)
@@ -59,6 +70,8 @@ def main():
         mfu = ips * 4.49e9 * 2 / 197e12 * 100
         print(f"attn_fused={fa} mlp_fused={fm}: {ips:8.0f} img/s  {mfu:5.1f}% MFU  {dt*1e3:7.2f} ms")
     swin_mod.FUSED_ATTENTION = swin_mod.FUSED_MLP = True
+    if section != "stages":
+        return
 
     print("== per-stage SwinBlock pairs (shift 0 + shift 3), bf16 ==")
     # (dim, heads, H=W, n_blocks_in_model); per-block GMACs = 12*c^2*T + win
