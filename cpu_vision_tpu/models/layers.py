@@ -96,24 +96,23 @@ class PatchifyDense(nn.Module):
 
 
 class DepthwiseConv(nn.Module):
-    """Depthwise KxK conv as a shifted-slice FMA accumulation.
+    """Depthwise KxK conv: Pallas VMEM kernel when eligible, grouped
+    ``lax.conv`` otherwise.
 
-    ``lax.conv`` with ``feature_group_count == C`` is the classic TPU trap:
-    each group is a 1-in/1-out-channel conv, so the MXU sees K*K tiny
-    matmuls with the channel dim padded to the 128-lane unit (measured 17%
-    MFU on convnext_tiny).  A depthwise conv is really an elementwise
-    stencil per channel: ``out = Σ_{i,j} shift(x, i, j) * w[i, j, :]`` —
-    K*K VPU FMAs with channels riding the lane unit at full width, which
-    XLA fuses into one bandwidth-bound pass (same design as
-    ``ops/filters.py:_depthwise_conv_valid``; reference semantics:
-    ``torchvision/models/convnext.py:62-92`` CNBlock's 7x7, groups=dim).
+    On-chip A/B at ConvNeXt's stage shapes (v5e, b256): grouped
+    ``lax.conv`` 5.6 ms, XLA shifted-slice accumulation 13.7 ms (49 HBM
+    re-reads — XLA does not fuse the taps), HBM floor 0.38 ms.  The
+    Pallas kernel (``ops/pallas/depthwise.py``) reads each image into
+    VMEM once and runs the K*K taps there — used for stride-1,
+    undilated, SAME-padded convs whose padded image fits VMEM (ConvNeXt's
+    7x7 at every stage); everything else (MobileNet's strided 3x3s, big
+    feature maps) takes XLA's grouped path.  Reference semantics:
+    ``torchvision/models/convnext.py:62-92`` CNBlock, groups=dim.
 
     The parameter keeps ``nn.Conv``'s grouped HWIO kernel shape
     ``(kh, kw, 1, C)`` + ``(C,)`` bias, so weight converters and
     param-parity are unchanged — instantiate with ``name="Conv_0"`` to
-    occupy the same slot in the param tree.  Accumulation is f32 even for
-    bf16 activations (register-only upcast: HBM traffic stays bf16),
-    matching XLA's conv accumulator semantics.
+    occupy the same slot in the param tree.
     """
 
     features: int
@@ -145,28 +144,46 @@ class DepthwiseConv(nn.Module):
             pads = [(0, 0), (0, 0)]
         else:
             pads = [tuple(p) for p in self.padding]
-        xp = jnp.pad(x.astype(self.dtype), ((0, 0), pads[0], pads[1], (0, 0)))
-        n, ph, pw, _ = xp.shape
-        oh = (ph - ekh) // sy + 1
-        ow = (pw - ekw) // sx + 1
 
-        # round-trip weights through the compute dtype (as nn.Conv casts
-        # them) before the f32 accumulation
-        k = kernel.astype(self.dtype).astype(jnp.float32)[:, :, 0, :]  # (kh, kw, C)
-        acc = None
-        for i in range(kh):
-            for j in range(kw):
-                y0, x0 = i * dy, j * dx
-                term = jax.lax.slice(
-                    xp,
-                    (0, y0, x0, 0),
-                    (n, y0 + (oh - 1) * sy + 1, x0 + (ow - 1) * sx + 1, c),
-                    (1, sy, sx, 1),
-                ).astype(jnp.float32) * k[i, j]
-                acc = term if acc is None else acc + term
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        n, h, w, _ = x.shape
+        from ..ops.pallas.depthwise import depthwise_conv2d, fits_vmem
+
+        # Measured negative (v5e, b256, all four ConvNeXt stages): the
+        # Pallas VMEM kernel runs 13.6/7.8/4.4/3.9 ms vs grouped
+        # lax.conv's 4.9/4.0/3.0/4.4 — the 49-tap FMA chain is
+        # VMEM-bandwidth bound (3 VMEM touches per FMA), and bf16
+        # accumulation is slower still (VPU is natively f32).  XLA's
+        # grouped conv is the best known depthwise path on TPU; keep the
+        # kernel behind an opt-in env for future re-measurement.
+        import os as _os
+
+        pallas_ok = (
+            _os.environ.get("CVT_DW_PALLAS") == "1"
+            and (sy, sx) == (1, 1) and (dy, dx) == (1, 1)
+            and kh % 2 == 1 and kw % 2 == 1
+            and pads == [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+            and fits_vmem(h, w, c, kh, kw, jnp.dtype(self.dtype).itemsize)
+        )
+        if pallas_ok:
+            b_in = (bias.astype(jnp.float32) if bias is not None
+                    else jnp.zeros((c,), jnp.float32))
+            return depthwise_conv2d(
+                xd, kd[:, :, 0, :], b_in, bias is not None,
+                jax.default_backend() != "tpu")
+        out = jax.lax.conv_general_dilated(
+            xd, kd,
+            window_strides=(sy, sx),
+            padding=pads,
+            rhs_dilation=(dy, dx),
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")),
+            feature_group_count=c,
+        )
         if bias is not None:
-            acc = acc + bias.astype(jnp.float32)
-        return acc.astype(self.dtype)
+            out = out + bias.astype(self.dtype)
+        return out
 
 
 class FrozenBatchNorm(nn.Module):
