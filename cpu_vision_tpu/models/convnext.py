@@ -26,16 +26,32 @@ class CNBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        # 7x7 depthwise as shifted-slice FMAs, not a grouped lax.conv (the
-        # few-lane MXU trap — see DepthwiseConv); name keeps the nn.Conv
-        # param slot
         out = DepthwiseConv(self.dim, (7, 7), padding=[(3, 3), (3, 3)],
                             dtype=self.dtype, name="Conv_0")(x)
+        scale = self.param("layer_scale", lambda k: jnp.full((self.dim,), self.layer_scale))
+        if not train or self.sd_prob == 0.0:
+            # fused tail (ops/pallas/transformer_block.py:cn_mlp_block):
+            # LN + MLP + layer_scale + residual in one VMEM-resident pass —
+            # traced 36% of convnext_tiny device time was LN convert/reduce
+            # fusions.  Param slots match the unfused module path below.
+            import jax
+
+            from ..ops.pallas.transformer_block import cn_mlp_block
+            from .vision_transformer import _DenseParams, _LNParams
+
+            c = self.dim
+            g, b = _LNParams(c, name="LayerNorm_0")()
+            w1, b1 = _DenseParams((c, 4 * c), name="Dense_0")()
+            w2, b2 = _DenseParams((4 * c, c), name="Dense_1")()
+            fused = cn_mlp_block(
+                out.reshape(-1, c), residual.reshape(-1, c), g, b,
+                w1.astype(self.dtype), b1, w2.astype(self.dtype), b2,
+                scale, 1e-6, 512, jax.default_backend() != "tpu")
+            return fused.reshape(x.shape)
         out = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(out)
         out = nn.Dense(4 * self.dim, dtype=self.dtype)(out)
         out = nn.gelu(out, approximate=False)
         out = nn.Dense(self.dim, dtype=self.dtype)(out)
-        scale = self.param("layer_scale", lambda k: jnp.full((self.dim,), self.layer_scale))
         out = out * scale
         out = StochasticDepth(self.sd_prob, "row")(out, train)
         return residual + out

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["mlp_block", "attention_block"]
+__all__ = ["mlp_block", "attention_block", "cn_mlp_block"]
 
 
 def _erf_f32(x):
@@ -305,3 +305,121 @@ def _bwd(eps, block_m, interpret, post_norm, res, g):
 
 
 mlp_block.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------
+# ConvNeXt CNBlock tail: res + layer_scale * Dense2(gelu(Dense1(LN(y))))
+# --------------------------------------------------------------------------
+#
+# Why: traced convnext_tiny b256 inference spends ~36% of device time in
+# LayerNorm convert/reduce + normalize fusions (the convs fuse fine).
+# Fusing the whole post-depthwise tail keeps LN statistics, the hidden
+# activations and the layer-scale multiply in VMEM — the feature map
+# crosses HBM once in, once out.  Reference semantics:
+# ``torchvision/models/convnext.py:62-92`` (CNBlock).  The residual is a
+# SEPARATE tensor (the depthwise conv's input), unlike mlp_block.
+
+
+def _cn_kernel(y_ref, r_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               ls_ref, o_ref, acc_ref, *, eps: float, dtype):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    y32 = y_ref[...].astype(jnp.float32)
+    g32 = g_ref[...].astype(jnp.float32)
+    b32 = b_ref[...].astype(jnp.float32)
+    h = _ln_f32(y32, g32, b32, eps).astype(dtype)
+    hj = jax.lax.dot_general(h, w1_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    hj = _gelu_f32(hj + b1_ref[...].astype(jnp.float32)).astype(dtype)
+    pj = jax.lax.dot_general(hj, w2_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = pj + b2_ref[...].astype(jnp.float32)
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + pj
+
+    @pl.when(j == nj - 1)
+    def _():
+        res32 = r_ref[...].astype(jnp.float32)
+        o_ref[...] = (res32 + acc_ref[...] * ls_ref[...].astype(jnp.float32)
+                      ).astype(o_ref.dtype)
+
+
+def _cn_fwd_pallas(y, res, ln_g, ln_b, w1, b1, w2, b2, layer_scale, eps,
+                   block_m, interpret):
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, d = y.shape
+    dh = w1.shape[1]
+    bdh = _pick_block_dh(d, dh, jnp.dtype(w1.dtype).itemsize)
+    mp = -(-m // block_m) * block_m
+    if mp != m:
+        y = jnp.pad(y, ((0, mp - m), (0, 0)))
+        res = jnp.pad(res, ((0, mp - m), (0, 0)))
+    out = pl.pallas_call(
+        partial(_cn_kernel, eps=eps, dtype=w1.dtype),
+        grid=(mp // block_m, dh // bdh),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((d, bdh), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bdh), lambda i, j: (0, j)),
+            pl.BlockSpec((bdh, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((mp, d), res.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, d), jnp.float32)],
+        interpret=interpret,
+    )(y, res, ln_g.reshape(1, d), ln_b.reshape(1, d), w1,
+      b1.reshape(1, dh), w2, b2.reshape(1, d), layer_scale.reshape(1, d))
+    return out[:m]
+
+
+def _cn_ref_math(y, res, ln_g, ln_b, w1, b1, w2, b2, layer_scale, eps, dtype):
+    y32 = y.astype(jnp.float32)
+    h = _ln_f32(y32, ln_g.astype(jnp.float32), ln_b.astype(jnp.float32),
+                eps).astype(dtype)
+    h = jnp.dot(h, w1, preferred_element_type=jnp.float32)
+    h = _gelu_f32(h + b1.astype(jnp.float32)).astype(dtype)
+    h = jnp.dot(h, w2, preferred_element_type=jnp.float32)
+    h = (h + b2.astype(jnp.float32)) * layer_scale.astype(jnp.float32)
+    return (res.astype(jnp.float32) + h).astype(res.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def cn_mlp_block(y, res, ln_g, ln_b, w1, b1, w2, b2, layer_scale,
+                 eps: float = 1e-6, block_m: int = 512,
+                 interpret: bool = False):
+    """``res + layer_scale * Dense2(gelu(Dense1(LN(y))))`` for 2-D ``y``/
+    ``res`` (tokens, d) — the ConvNeXt CNBlock tail."""
+    return _cn_fwd_pallas(y, res, ln_g, ln_b, w1, b1, w2, b2, layer_scale,
+                          eps, block_m, interpret)
+
+
+def _cn_fwd(y, res, ln_g, ln_b, w1, b1, w2, b2, layer_scale, eps, block_m,
+            interpret):
+    out = _cn_fwd_pallas(y, res, ln_g, ln_b, w1, b1, w2, b2, layer_scale,
+                         eps, block_m, interpret)
+    return out, (y, res, ln_g, ln_b, w1, b1, w2, b2, layer_scale)
+
+
+def _cn_bwd(eps, block_m, interpret, saved, g):
+    y, res, ln_g, ln_b, w1, b1, w2, b2, layer_scale = saved
+    grads = jax.grad(
+        lambda *a: jnp.sum(
+            _cn_ref_math(*a, eps, w1.dtype).astype(jnp.float32) *
+            g.astype(jnp.float32)),
+        argnums=tuple(range(9)),
+    )(y, res, ln_g, ln_b, w1, b1, w2, b2, layer_scale)
+    return grads
+
+
+cn_mlp_block.defvjp(_cn_fwd, _cn_bwd)

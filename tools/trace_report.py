@@ -121,8 +121,20 @@ def workload_int8_e2e():
     return (lambda s: (s, f(x))), None
 
 
+def workload_convnext_infer():
+    from cpu_vision_tpu import models
+
+    m = models.get_model("convnext_tiny", num_classes=1000, dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((256, 224, 224, 3), dtype=np.float32)).astype(jnp.bfloat16)
+    f = jax.jit(lambda v, t: m.apply(v, t, train=False))
+    return (lambda s: (s, f(v, x))), None
+
+
 WORKLOADS = {
     "r50_train": workload_r50_train,
+    "convnext_infer": workload_convnext_infer,
     "r50_infer": workload_r50_infer,
     "vit_infer": workload_vit_infer,
     "swin_infer": workload_swin_infer,
