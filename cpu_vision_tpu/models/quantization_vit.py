@@ -108,7 +108,11 @@ class Int8ViT:
         # from the (jittable) float graph, so calibration is ONE compiled
         # program per batch shape instead of an eager op stream with a host
         # readback per site (48 relay round-trips for ViT-B).
-        self._sites[site] = jnp.max(jnp.abs(f32))
+        # PER-CHANNEL amax: each channel (and so each attention head at the
+        # attn_out site) gets its own int8 range; the scale is folded into
+        # the quantized weight's rows, so it costs nothing at inference.
+        flat = f32.reshape(-1, f32.shape[-1])
+        self._sites[site] = jnp.max(jnp.abs(flat), axis=0)
 
     def _embed(self, x: jax.Array) -> jax.Array:
         n = x.shape[0]
@@ -182,15 +186,28 @@ class Int8ViT:
     # ------------------------------------------------------------- public
 
     def calibrate(self, batches: Sequence[jax.Array]) -> "Int8ViT":
-        amax: Dict[str, float] = {}
+        amax: Dict[str, np.ndarray] = {}
         fp = jax.jit(lambda flt, b: self._float_graph(flt, b)[1])
         flt = [ly.floats() for ly in self.layers]
         for b in batches:
             sites = jax.device_get(fp(flt, jnp.asarray(b)))
             for k, v in sites.items():
-                amax[k] = max(amax.get(k, 0.0), float(v))
-        self.scales = {k: jnp.float32(max(v, 1e-8) / 127.0)
+                v = np.asarray(v, np.float32)
+                amax[k] = np.maximum(amax[k], v) if k in amax else v
+        self.scales = {k: jnp.asarray(np.maximum(v, 1e-8) / 127.0)
                        for k, v in amax.items()}
+        # re-quantize weights with the activation scales folded into the
+        # rows: q_x[c] = round(x[c]/a_c) and w'[c,:] = w[c,:]*a_c give the
+        # exact same product with per-channel activation ranges for free
+        for i, ly in enumerate(self.layers):
+            a_in = self.scales[f"L{i}/attn_in"][:, None]
+            a_out = self.scales[f"L{i}/attn_out"][:, None]
+            m_in = self.scales[f"L{i}/mlp_in"][:, None]
+            m_g = self.scales[f"L{i}/mlp_gelu"][:, None]
+            ly.qw_qkv, ly.s_qkv = quantize_weight(ly.w_qkv * a_in)
+            ly.qw_o, ly.s_o = quantize_weight(ly.w_o * a_out)
+            ly.qw1, ly.s1 = quantize_weight(ly.w1 * m_in)
+            ly.qw2, ly.s2 = quantize_weight(ly.w2 * m_g)
         return self
 
     def _float_graph(self, flt: List[Dict], x: jax.Array):

@@ -36,15 +36,16 @@ def test_mlp_kernel_matches_float_math(rng):
     b1 = jnp.asarray(rng.standard_normal(dh) * 0.1, jnp.float32)
     w2 = jnp.asarray(rng.standard_normal((dh, d)) * 0.05, jnp.float32)
     b2 = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
-    qw1, s1 = quantize_weight(w1)
-    qw2, s2 = quantize_weight(w2)
-
     x32 = x.astype(jnp.float32)
     h = _ln_f32(x32, g, b, 1e-6)
     f = _gelu_f32(h @ w1 + b1)
     ref = x32 + f @ w2 + b2
-    a1 = jnp.float32(float(jnp.max(jnp.abs(h))) / 127.0)
-    a2 = jnp.float32(float(jnp.max(jnp.abs(f))) / 127.0)
+    # per-channel act scales, folded into the weight rows (the engine's
+    # calibrate() contract)
+    a1 = jnp.max(jnp.abs(h), axis=0) / 127.0
+    a2 = jnp.max(jnp.abs(f), axis=0) / 127.0
+    qw1, s1 = quantize_weight(w1 * a1[:, None])
+    qw2, s2 = quantize_weight(w2 * a2[:, None])
 
     got = mlp_block_int8(x, g, b, qw1, s1, b1, qw2, s2, b2, a1, a2,
                          interpret=True).astype(jnp.float32)
@@ -63,8 +64,6 @@ def test_attention_kernel_matches_float_math(rng):
     bqkv = jnp.asarray(rng.standard_normal(3 * d) * 0.1, jnp.float32)
     wo = jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)
     bo = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
-    qwqkv, sqkv = quantize_weight(wqkv)
-    qwo, so = quantize_weight(wo)
     scale = 1.0 / float(hd) ** 0.5
 
     x32 = x.astype(jnp.float32)
@@ -75,8 +74,10 @@ def test_attention_kernel_matches_float_math(rng):
     p = jax.nn.softmax(sc, axis=-1)
     o = jnp.einsum("nhqk,nkhd->nqhd", p, v).reshape(n, s, d)
     ref = x32 + (o.reshape(-1, d) @ wo + bo).reshape(n, s, d)
-    a1 = jnp.float32(float(jnp.max(jnp.abs(h))) / 127.0)
-    ao = jnp.float32(float(jnp.max(jnp.abs(o))) / 127.0)
+    a1 = jnp.max(jnp.abs(h.reshape(-1, d)), axis=0) / 127.0
+    ao = jnp.max(jnp.abs(o.reshape(-1, d)), axis=0) / 127.0
+    qwqkv, sqkv = quantize_weight(wqkv * a1[:, None])
+    qwo, so = quantize_weight(wo * ao[:, None])
 
     got = attention_block_int8(
         x, g, b, qwqkv, sqkv, bqkv, qwo, so, bo, a1, ao, heads, scale,
