@@ -28,6 +28,7 @@ Backward: custom_vjp recomputing from x with plain XLA einsums
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -199,8 +200,18 @@ def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
     g = pick_group(nw, nw_img, heads, masked)
     # head-packed path (v1, small head counts): one matmul chain per
     # window across all heads — see _kernel_packed.  The heads*S bound
-    # keeps the redundant-score-FLOP factor (= heads) profitable.
-    if not v2 and heads * s <= 512 and c % heads == 0:
+    # keeps the redundant-score-FLOP factor (= heads) profitable
+    # (on-chip A/B: hs<=512 wins clearly; override to experiment).
+    hs_cap = int(os.environ.get("CVT_SWIN_PACKED_HS", "512"))
+    if not v2 and heads * s <= hs_cap and c % heads == 0:
+        # VMEM cap: k_aug/v_aug are (g, heads*s, c) each
+        it = jnp.dtype(w_qkv.dtype).itemsize
+        while g > 1 and 2 * g * heads * s * c * it > 5_000_000:
+            gp = g - 1
+            while gp > 1 and (nw % gp or (masked and not
+                              (nw_img % gp == 0 or gp % nw_img == 0))):
+                gp -= 1
+            g = gp
         return _fwd_pallas_packed(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o,
                                   rel_bias, mask, heads, scale, eps, nw_img,
                                   g, s0, s, interpret)
