@@ -111,8 +111,9 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
 
 
 def _kernel_packed(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-                   biasp_ref, maskp_ref, m1_ref, o_ref, *, heads: int,
-                   scale: float, eps: float, dtype, masked: bool):
+                   biasp_ref, maskp_ref, m1_ref, m2_ref, lsp_ref, o_ref, *,
+                   heads: int, scale: float, eps: float, dtype, v2: bool,
+                   masked: bool):
     """Head-PACKED window attention for small head counts (swin stages 1-2).
 
     The per-(window, head) loop of ``_kernel`` issues ~6 tiny matmuls and
@@ -133,6 +134,12 @@ def _kernel_packed(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     All contractions are C- or heads*S-wide (96-336 lanes at stages 1-2)
     instead of hd=32, trading ~heads-x redundant score FLOPs (minor at
     these stages) for full-width MXU ops.
+
+    v2 (cosine attention): per-head q/k norms come from a second constant
+    M2 (C, C) = block-diag ones — ``(q*q) @ M2`` broadcasts each head's
+    squared norm to its own channels (again a matmul instead of per-head
+    lane reductions); the per-head logit scale rides the packed key axis
+    as a (1, HS) vector; post-norm LN applies to the branch output.
     """
     G, S, C = x_ref.shape
     HS = heads * S
@@ -140,17 +147,37 @@ def _kernel_packed(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     b32 = b_ref[...].astype(jnp.float32)
     m1 = m1_ref[...].astype(dtype)                           # (HS, C)
     x32 = x_ref[...].astype(jnp.float32).reshape(G * S, C)
-    h = _ln_f32(x32, g32, b32, eps).astype(dtype)
+    if v2:
+        h = x32.astype(dtype)
+    else:
+        h = _ln_f32(x32, g32, b32, eps).astype(dtype)
     qkv_all = jax.lax.dot_general(h, wqkv_ref[...], (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
     qkv_all = qkv_all + bqkv_ref[...].astype(jnp.float32)    # (G*S, 3C)
+    if v2:
+        # cosine attention: normalise q and k per head before packing
+        m2 = m2_ref[...].astype(dtype)                       # (C, C)
+        qf = qkv_all[:, :C]
+        kf = qkv_all[:, C:2 * C]
+        q2 = jax.lax.dot_general((qf * qf).astype(dtype), m2,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        k2 = jax.lax.dot_general((kf * kf).astype(dtype), m2,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        qn = qf * jax.lax.rsqrt(jnp.maximum(q2, 1e-12))
+        kn = kf * jax.lax.rsqrt(jnp.maximum(k2, 1e-12))
+        qkv_all = jnp.concatenate([qn, kn, qkv_all[:, 2 * C:]], axis=1)
     qkv_all = qkv_all.reshape(G, S, 3 * C)
-    q = (qkv_all[..., :C] * scale).astype(dtype)
+    q_scale = 1.0 if v2 else scale
+    q = (qkv_all[..., :C] * q_scale).astype(dtype)
     k = qkv_all[..., C:2 * C].astype(dtype)
     v = qkv_all[..., 2 * C:].astype(dtype)
     k_aug = jnp.concatenate([k] * heads, axis=1) * m1[None]  # (G, HS, C)
     s_full = jax.lax.dot_general(q, k_aug, (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
+    if v2:
+        s_full = s_full * lsp_ref[...][None]                 # (1, HS) bcast
     s_full = s_full + biasp_ref[...][None]                   # (G, S, HS)
     if masked:
         s_full = s_full + maskp_ref[...]                     # (G, S, HS)
@@ -165,6 +192,8 @@ def _kernel_packed(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     o = jax.lax.dot_general(o_all, wo_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o = o + bo_ref[...].astype(jnp.float32)
+    if v2:
+        o = _ln_f32(o, g32, b32, eps)
     o_ref[...] = (x32 + o).astype(o_ref.dtype).reshape(G, S, C)
 
 
@@ -203,7 +232,7 @@ def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
     # keeps the redundant-score-FLOP factor (= heads) profitable
     # (on-chip A/B: hs<=512 wins clearly; override to experiment).
     hs_cap = int(os.environ.get("CVT_SWIN_PACKED_HS", "512"))
-    if not v2 and heads * s <= hs_cap and c % heads == 0:
+    if heads * s <= hs_cap and c % heads == 0:
         # VMEM cap: k_aug/v_aug are (g, heads*s, c) each
         it = jnp.dtype(w_qkv.dtype).itemsize
         while g > 1 and 2 * g * heads * s * c * it > 5_000_000:
@@ -213,8 +242,8 @@ def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
                 gp -= 1
             g = gp
         return _fwd_pallas_packed(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o,
-                                  rel_bias, mask, heads, scale, eps, nw_img,
-                                  g, s0, s, interpret)
+                                  rel_bias, mask, logit_scale, heads, scale,
+                                  eps, v2, nw_img, g, s0, s, interpret)
     if masked:
         p = min(g, nw_img)
         mask_spec = pl.BlockSpec(
@@ -252,7 +281,8 @@ def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
 
 
 def _fwd_pallas_packed(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
-                       heads, scale, eps, nw_img, g, s0, s, interpret):
+                       logit_scale, heads, scale, eps, v2, nw_img, g, s0, s,
+                       interpret):
     nw, _, c = x.shape
     masked = mask is not None
     hs = heads * s
@@ -261,6 +291,16 @@ def _fwd_pallas_packed(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
     m1 = np.zeros((hs, c), np.float32)
     for h in range(heads):
         m1[h * s:(h + 1) * s, h * hd:(h + 1) * hd] = 1.0
+    # M2: block-diag ones (C, C) — broadcasts per-head squared norms (v2)
+    m2 = np.zeros((c, c), np.float32)
+    for h in range(heads):
+        m2[h * hd:(h + 1) * hd, h * hd:(h + 1) * hd] = 1.0
+    if v2 and logit_scale is not None:
+        lsv = jnp.exp(jnp.minimum(logit_scale.reshape(heads),
+                                  np.log(100.0))).astype(jnp.float32)
+        ls_packed = jnp.repeat(lsv, s).reshape(1, hs)
+    else:
+        ls_packed = jnp.ones((1, hs), jnp.float32)
     # (heads, S, S) -> (S, heads*S): bias_packed[i, h*S+j] = bias[h, i, j]
     bias_packed = rel_bias.astype(jnp.float32).transpose(1, 0, 2).reshape(s, hs)
     if masked:
@@ -278,7 +318,7 @@ def _fwd_pallas_packed(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
         mask_spec = pl.BlockSpec((1, s, hs), lambda i: (0, 0, 0))
     out = pl.pallas_call(
         partial(_kernel_packed, heads=heads, scale=scale, eps=eps,
-                dtype=w_qkv.dtype, masked=masked),
+                dtype=w_qkv.dtype, v2=v2, masked=masked),
         grid=(nw // g,),
         in_specs=[
             pl.BlockSpec((g, s, c), lambda i: (i, 0, 0)),
@@ -291,13 +331,15 @@ def _fwd_pallas_packed(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
             pl.BlockSpec((s, hs), lambda i: (0, 0)),
             mask_spec,
             pl.BlockSpec((hs, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, hs), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((g, s, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nw, s, c), x.dtype),
         interpret=interpret,
     )(x, ln_g.reshape(1, c), ln_b.reshape(1, c), w_qkv,
       b_qkv.reshape(1, 3 * c), w_o, b_o.reshape(1, c), bias_packed,
-      mask_packed, jnp.asarray(m1))
+      mask_packed, jnp.asarray(m1), jnp.asarray(m2), ls_packed)
     return out[:, :s0, :] if s != s0 else out
 
 
