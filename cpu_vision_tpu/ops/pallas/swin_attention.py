@@ -227,11 +227,13 @@ def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
         if masked:
             mask = jnp.pad(mask, ((0, 0), (0, s - s0), (0, s - s0)))
     g = pick_group(nw, nw_img, heads, masked)
-    # head-packed path (v1, small head counts): one matmul chain per
-    # window across all heads — see _kernel_packed.  The heads*S bound
-    # keeps the redundant-score-FLOP factor (= heads) profitable
-    # (on-chip A/B: hs<=512 wins clearly; override to experiment).
-    hs_cap = int(os.environ.get("CVT_SWIN_PACKED_HS", "512"))
+    # head-packed path: one matmul chain per window across all heads —
+    # see _kernel_packed.  The heads*S bound keeps the redundant-score-
+    # FLOP factor (= heads) profitable: on-chip A/B (swin_t b256) —
+    # cap 512 (stages 1-2 packed) 3428 img/s, cap 700 (+stage 3) 3688,
+    # cap 1400 (+stage 4) 3662 (stage-4 pair regressed 5.7 -> 6.9 ms),
+    # so 700 is the default.
+    hs_cap = int(os.environ.get("CVT_SWIN_PACKED_HS", "700"))
     if heads * s <= hs_cap and c % heads == 0:
         # VMEM cap: k_aug/v_aug are (g, heads*s, c) each
         it = jnp.dtype(w_qkv.dtype).itemsize
