@@ -300,7 +300,9 @@ def main():
     # flagship (the reference's own headline families beyond R50/ViT),
     # same b256 224^2 harness.  MAC counts from the reference's weight
     # metadata (swin_t 4.49, convnext_tiny 4.46 GMACs/img).
-    for bname, gmacs in (("swin_t", 4.49), ("convnext_tiny", 4.46)):
+    for bname, gmacs in (("swin_t", 4.49), ("convnext_tiny", 4.46),
+                         ("swin_v2_t", 5.94), ("efficientnet_b0", 0.39),
+                         ("mobilenet_v3_large", 0.22)):
         bm = models.get_model(bname, num_classes=1000, dtype=jnp.bfloat16)
         bvars = bm.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
                         train=False)
