@@ -51,6 +51,9 @@ def _load_lib():
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
+    import os
+    if os.environ.get("CVT_USE_NATIVE_VIDEO", "1") == "0":  # feature flag (see image.py)
+        return None
     path = _so_path()
     if not os.path.exists(path) and not _build_shim():
         return None

@@ -54,6 +54,9 @@ def _load_lib():
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
+    import os
+    if os.environ.get("CVT_USE_NATIVE_HEIF", "1") == "0":  # feature flag (see image.py)
+        return None
     if not os.path.exists(_so_path()) and not _build_shim():
         return None
     try:

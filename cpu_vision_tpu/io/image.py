@@ -77,6 +77,10 @@ def _load_lib():
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
+    # feature flag (counterpart of the reference's TORCHVISION_USE_PNG/
+    # JPEG/WEBP build switches, setup.py:16-33): 0 forces the PIL fallback
+    if os.environ.get("CVT_USE_NATIVE_CODECS", "1") == "0":
+        return None
     path = _so_path()
     src = os.path.join(os.path.dirname(__file__), "_codecs.cpp")
     stale = (os.path.exists(path) and os.path.exists(src)
