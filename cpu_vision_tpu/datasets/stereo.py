@@ -185,17 +185,18 @@ class Middlebury2014Stereo(StereoMatchingDataset):
         super().__init__(root, transforms)
         if split == "test" and calibration is not None:
             raise ValueError(
-                "Split 'test' has only no calibration settings, please set "
-                "`calibration=None`.")
+                "the Middlebury test split ships without calibration variants; "
+                "pass calibration=None when split='test'")
         if split != "test" and calibration is None:
             raise ValueError(
-                f"Split '{split}' has calibration settings, however None was "
-                "provided as an argument.")
+                f"split={split!r} requires a calibration variant "
+                "('perfect' or 'imperfect'); got calibration=None")
         self.split = split
         root = Path(root) / "Middlebury2014"
         if not os.path.exists(root / split):
             raise FileNotFoundError(
-                f"The {split} directory was not found in the provided root directory")
+                f"missing scene directory {root / split} — download/extract the "
+                f"Middlebury2014 {split} archives there first")
         suffixes = {None: [""], "perfect": ["-perfect"],
                     "imperfect": ["-imperfect"],
                     "both": ["-perfect", "-imperfect"]}[calibration]

@@ -85,8 +85,22 @@ def _load_lib():
     src = os.path.join(os.path.dirname(__file__), "_codecs.cpp")
     stale = (os.path.exists(path) and os.path.exists(src)
              and os.path.getmtime(src) > os.path.getmtime(path))
-    if (not os.path.exists(path) or stale) and not _build_shim() and not os.path.exists(path):
-        return None
+    if (not os.path.exists(path) or stale) and not _build_shim():
+        if not os.path.exists(path):
+            return None
+        if stale:
+            # The shipped sources are newer than the binary and the rebuild
+            # failed (no toolchain?): loading the old .so silently keeps the
+            # old semantics of existing symbols — make the drift visible.
+            import warnings
+
+            warnings.warn(
+                f"cpu_vision_tpu.io: _codecs.cpp is newer than {path} and the "
+                "rebuild failed; loading the STALE binary (its behaviour may "
+                "lag the shipped sources). Rebuild with g++ available, or set "
+                "CVT_USE_NATIVE_CODECS=0 for the PIL fallback.",
+                RuntimeWarning,
+            )
     try:
         lib = ctypes.CDLL(path)
     except OSError:

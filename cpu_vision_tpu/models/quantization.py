@@ -366,6 +366,12 @@ def trace_conv_bn_pairs(model, variables, *args, **kwargs):
 
     pairs: Dict[str, str] = {}
     producer: Dict[int, str] = {}
+    # Keep every conv output alive for the duration of the trace: ``id()``
+    # is only unique among LIVE objects, and a freed intermediate's id can
+    # be reused by a later allocation — which silently pairs a BN with the
+    # wrong conv (observed as a (1,1,24,144)x(960,) mispair on
+    # mobilenet_v3; same-shape mispairs would corrupt weights silently).
+    keepalive = []
 
     def interceptor(next_fun, iargs, ikwargs, context):
         mod = context.module
@@ -373,6 +379,7 @@ def trace_conv_bn_pairs(model, variables, *args, **kwargs):
             return next_fun(*iargs, **ikwargs)
         out = next_fun(*iargs, **ikwargs)
         if type(mod) is nn.Conv:
+            keepalive.append(out)
             producer[id(out)] = "/".join(mod.path)
         elif type(mod) is nn.BatchNorm and iargs:
             src = producer.get(id(iargs[0]))
@@ -427,6 +434,12 @@ def fold_batchnorm(model, variables, *example_args, eps: float = 1e-5, **kwargs)
         var = jnp.asarray(bn_s["var"], jnp.float32)
         s = gamma / jnp.sqrt(var + eps)
         kernel = jnp.asarray(conv_p["kernel"])
+        if kernel.shape[-1] != s.shape[0]:
+            # Loud guard: a mispaired conv/bn must never fold silently.
+            raise ValueError(
+                f"conv->bn fold mismatch: {conv_path} kernel {kernel.shape} "
+                f"vs {bn_path} scale {s.shape}; the trace paired a BN with "
+                "the wrong conv")
         conv_p["kernel"] = (kernel * s.astype(kernel.dtype)).astype(kernel.dtype)
         shift = beta - mean * s
         if "bias" in conv_p:

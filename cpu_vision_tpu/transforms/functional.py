@@ -23,7 +23,20 @@ from .._dtype import to_dtype as _to_dtype_arr
 from ..tv_arrays import BoundingBoxes, Image, Mask, TVArray, Video, wrap
 from ._registry import dispatch, register_kernel
 
+
+def __getattr__(name):
+    # Reference exports InterpolationMode from the functional namespace too
+    # (torchvision transforms/v2/functional/__init__.py:4). Lazy to avoid a
+    # circular import with the package __init__ where the class lives.
+    if name == "InterpolationMode":
+        from . import InterpolationMode
+
+        return InterpolationMode
+    raise AttributeError(name)
+
+
 __all__ = [
+    "InterpolationMode",
     "hflip",
     "vflip",
     "to_image",

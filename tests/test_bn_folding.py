@@ -81,6 +81,22 @@ def test_int8_on_folded_keeps_accuracy(r18):
     assert rel < 0.05, f"int8-on-folded rel err {rel}"
 
 
+def test_mobilenet_v3_folding(rng):
+    """SE-interleaved net: MBConv blocks interleave non-BN convs (the SE
+    squeeze/excite 1x1s) with conv+bn pairs — the exact topology where the
+    old id()-reuse trace mispaired a BN with a freed conv's recycled id
+    (kernel (1,1,24,144) * scale (960,)). Regression for VERDICT r4 #1."""
+    model = models.mobilenet_v3_large(num_classes=10)
+    x0 = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(2), x0, train=False)
+    pairs = q.trace_conv_bn_pairs(model, variables, x0, train=False)
+    assert len(pairs) >= 30
+    folded = q.fold_batchnorm(model, variables, x0, train=False)
+    ref = model.apply(variables, x0, train=False)
+    got = model.apply(folded, x0, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 def test_mobilenet_folding(rng):
     model = models.mobilenet_v2(num_classes=10)
     x0 = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
