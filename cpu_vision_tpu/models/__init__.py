@@ -93,6 +93,7 @@ from .vision_transformer import (  # noqa: F401
     vit_l_32,
 )
 from . import weights_meta as _weights_meta  # noqa: F401  (attaches variant enums)
+from . import _weights_registry  # noqa: F401  (generated enums for every family)
 
 
 def _export_public_surface():

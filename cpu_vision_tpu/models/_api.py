@@ -29,6 +29,12 @@ __all__ = [
 
 _MODEL_REGISTRY: Dict[str, Callable] = {}
 
+# Every WeightsEnum subclass by class name (hand-written ones register via
+# __init_subclass__; generated ones via _weights_registry).  get_weight
+# resolves "Enum.MEMBER" strings against this, so enums stay addressable
+# even for builders that carry a different (hand-written) enum.
+ENUM_REGISTRY: Dict[str, type] = {}
+
 
 @dataclasses.dataclass(frozen=True)
 class Weights:
@@ -54,6 +60,10 @@ class WeightsEnum:
     """Namespace base for per-model weight enums (reference ``WeightsEnum``,
     ``models/_api.py:45-105``).  Subclasses define class attributes like
     ``IMAGENET1K_V1 = Weights(...)`` and ``DEFAULT``."""
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        ENUM_REGISTRY.setdefault(cls.__name__, cls)
 
     @classmethod
     def verify(cls, obj):
@@ -115,10 +125,15 @@ def get_weight(name: str) -> Weights:
     """Resolve "ResNet50_Weights.IMAGENET1K_V1"-style strings (reference
     ``get_weight``, ``models/_api.py:108``)."""
     enum_name, _, member = name.partition(".")
-    for builder in _MODEL_REGISTRY.values():
-        enum = getattr(builder, "weights_enum", None)
-        if enum is not None and enum.__name__ == enum_name:
-            if not hasattr(enum, member):
-                raise ValueError(f"{enum_name} has no member {member}")
-            return getattr(enum, member)
-    raise ValueError(f"unknown weights enum {enum_name!r}")
+    enum = ENUM_REGISTRY.get(enum_name)
+    if enum is None:
+        for builder in _MODEL_REGISTRY.values():
+            e = getattr(builder, "weights_enum", None)
+            if e is not None and e.__name__ == enum_name:
+                enum = e
+                break
+    if enum is None:
+        raise ValueError(f"unknown weights enum {enum_name!r}")
+    if not hasattr(enum, member):
+        raise ValueError(f"{enum_name} has no member {member}")
+    return getattr(enum, member)

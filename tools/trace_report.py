@@ -132,8 +132,55 @@ def workload_convnext_infer():
     return (lambda s: (s, f(v, x))), None
 
 
+def _frcnn(dtype):
+    from cpu_vision_tpu.models import detection as det
+
+    rcnn = det.FasterRCNN(num_classes=91, rpn_pre_nms_top_n=1000,
+                          rpn_post_nms_top_n=300, max_detections=100,
+                          dtype=dtype)
+    rng = np.random.default_rng(0)
+    dx = jnp.asarray(rng.random((8, 640, 640, 3), dtype=np.float32))
+    v = rcnn.init(jax.random.PRNGKey(0), dx[:1], train=False)
+    f = jax.jit(lambda v, t: rcnn.apply(v, t, train=False))
+    return (lambda s: (s, f(v, dx))), None
+
+
+def workload_frcnn_infer():
+    return _frcnn(jnp.float32)
+
+
+def workload_frcnn_bf16():
+    return _frcnn(jnp.bfloat16)
+
+
+def workload_effnet_infer():
+    from cpu_vision_tpu import models
+
+    m = models.get_model("efficientnet_b0", num_classes=1000, dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((256, 224, 224, 3), dtype=np.float32)).astype(jnp.bfloat16)
+    f = jax.jit(lambda v, t: m.apply(v, t, train=False))
+    return (lambda s: (s, f(v, x))), None
+
+
+def workload_mnv3_infer():
+    from cpu_vision_tpu import models
+
+    m = models.get_model("mobilenet_v3_large", num_classes=1000, dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((256, 224, 224, 3), dtype=np.float32)).astype(jnp.bfloat16)
+    f = jax.jit(lambda v, t: m.apply(v, t, train=False))
+    return (lambda s: (s, f(v, x))), None
+
+
 WORKLOADS = {
     "r50_train": workload_r50_train,
+    "frcnn_infer": workload_frcnn_infer,
+    "frcnn_bf16": workload_frcnn_bf16,
+    "effnet_infer": workload_effnet_infer,
+    "mnv3_infer": workload_mnv3_infer,
     "convnext_infer": workload_convnext_infer,
     "r50_infer": workload_r50_infer,
     "vit_infer": workload_vit_infer,
