@@ -320,14 +320,43 @@ def main():
     # dynamic shapes; here the whole thing is static and fused).
     from cpu_vision_tpu.models import detection as det
 
+    # bf16 like every classification row (reference runs detection under
+    # autocast on accelerators); box decode/NMS stay f32 inside the heads.
+    # MFU basis: reference _ops = 134.38 GMACs/img at ~800^2 COCO sizing,
+    # scaled to 640^2 => ~86 GMACs/img.
     rcnn = det.FasterRCNN(num_classes=91, rpn_pre_nms_top_n=1000,
-                          rpn_post_nms_top_n=300, max_detections=100)
+                          rpn_post_nms_top_n=300, max_detections=100,
+                          dtype=jnp.bfloat16)
     dx = jnp.asarray(rng.random((8, 640, 640, 3), dtype=np.float32))
     dvars = rcnn.init(jax.random.PRNGKey(0), dx[:1], train=False)
     fd = jax.jit(lambda v, t: rcnn.apply(v, t, train=False))
     dtd = bench(fd, dvars, dx, iters=5)
     det_ips = 8 / dtd
     rows.append(emit("fasterrcnn_640_infer_b8", det_ips, "img/s"))
+    rows.append(emit("fasterrcnn_640_infer_mfu_pct",
+                     det_ips * 86e9 * 2 / 197e12 * 100, "%"))
+    del rcnn, dvars, fd
+
+    # 6d2. the other two headline detection families at the same harness
+    # (reference mask_rcnn.py:372 / retinanet.py:826; _ops 134.4 / 151.5
+    # GMACs at ~800^2 -> ~86 / ~97 at 640^2)
+    mrcnn = det.MaskRCNN(num_classes=91, rpn_pre_nms_top_n=1000,
+                         rpn_post_nms_top_n=300, max_detections=100,
+                         dtype=jnp.bfloat16)
+    mvars = mrcnn.init(jax.random.PRNGKey(0), dx[:1], train=False)
+    fm = jax.jit(lambda v, t: mrcnn.apply(v, t, train=False))
+    dtm = bench(fm, mvars, dx, iters=5)
+    rows.append(emit("maskrcnn_640_infer_b8", 8 / dtm, "img/s"))
+    del mrcnn, mvars, fm
+    rnet = det.RetinaNet(num_classes=91, dtype=jnp.bfloat16)
+    rvars = rnet.init(jax.random.PRNGKey(0), dx[:1], train=False)
+    fr = jax.jit(lambda v, t: rnet.apply(v, t, train=False))
+    dtr = bench(fr, rvars, dx, iters=5)
+    ret_ips = 8 / dtr
+    rows.append(emit("retinanet_640_infer_b8", ret_ips, "img/s"))
+    rows.append(emit("retinanet_640_infer_mfu_pct",
+                     ret_ips * 97e9 * 2 / 197e12 * 100, "%"))
+    del rnet, rvars, fr
 
     # 6d-anchor. The same pipeline on the reference itself, on this host's
     # CPU (reference torchvision imported from source with the C-op schemas
@@ -382,6 +411,102 @@ def main():
     lo_v8 = np.asarray(fve8(x[:64])).astype(np.float32)
     relv = float(np.linalg.norm(lo_v8 - lo_vf) / max(np.linalg.norm(lo_vf), 1e-9)) * 100
     rows.append(emit("vit_int8_e2e_logit_rel_err", relv, "%"))
+
+    # 6h. the previously-unbenched task families (VERDICT r4 #5):
+    # segmentation, video classification, optical flow — one on-chip row +
+    # MFU each, FLOP bases from the reference's _ops metadata.
+    # DeepLabV3-R50: 178.7 GMACs at 520^2 (segmentation/deeplabv3.py:151).
+    seg = models.get_model("deeplabv3_resnet50", num_classes=21,
+                           dtype=jnp.bfloat16)
+    sx = jnp.asarray(rng.random((8, 520, 520, 3), dtype=np.float32)).astype(jnp.bfloat16)
+    svars = seg.init(jax.random.PRNGKey(0), sx[:1], train=False)
+    fs = jax.jit(lambda v, t: seg.apply(v, t, train=False))
+    dts = bench(fs, svars, sx, iters=5)
+    seg_ips = 8 / dts
+    rows.append(emit("deeplabv3_r50_520_infer_b8", seg_ips, "img/s"))
+    rows.append(emit("deeplabv3_r50_520_infer_mfu_pct",
+                     seg_ips * 178.7e9 * 2 / 197e12 * 100, "%"))
+    del seg, svars, fs
+
+    # video: swin3d_t (43.9 GMACs at 16x224^2; video/swin_transformer.py)
+    # — inherits the fused swin window-attention kernels via the 3D blocks.
+    vid = models.get_model("swin3d_t", num_classes=400, dtype=jnp.bfloat16)
+    vx = jnp.asarray(rng.random((4, 16, 224, 224, 3), dtype=np.float32)).astype(jnp.bfloat16)
+    vidvars = vid.init(jax.random.PRNGKey(0), vx[:1], train=False)
+    fvid = jax.jit(lambda v, t: vid.apply(v, t, train=False))
+    dtvid = bench(fvid, vidvars, vx, iters=5)
+    vid_ips = 4 / dtvid
+    rows.append(emit("swin3d_t_16f_infer_b4", vid_ips, "clip/s"))
+    rows.append(emit("swin3d_t_16f_infer_mfu_pct",
+                     vid_ips * 43.9e9 * 2 / 197e12 * 100, "%"))
+    del vid, vidvars, fvid
+
+    # video conv family: r3d_18 (40.7 GMACs at 16x112^2; video/resnet.py)
+    r3d = models.get_model("r3d_18", num_classes=400, dtype=jnp.bfloat16)
+    rx = jnp.asarray(rng.random((8, 16, 112, 112, 3), dtype=np.float32)).astype(jnp.bfloat16)
+    r3vars = r3d.init(jax.random.PRNGKey(0), rx[:1], train=False)
+    fr3 = jax.jit(lambda v, t: r3d.apply(v, t, train=False))
+    dtr3 = bench(fr3, r3vars, rx, iters=5)
+    r3d_ips = 8 / dtr3
+    rows.append(emit("r3d_18_16f_infer_b8", r3d_ips, "clip/s"))
+    rows.append(emit("r3d_18_16f_infer_mfu_pct",
+                     r3d_ips * 40.7e9 * 2 / 197e12 * 100, "%"))
+    del r3d, r3vars, fr3
+
+    # optical flow: raft_large, 12 refinement iters at 448x1024 b2
+    # (reference optical_flow/raft.py:947; KITTI-eval iteration count).
+    raft = models.get_model("raft_large", iters=12, dtype=jnp.bfloat16)
+    f1 = jnp.asarray(rng.random((2, 448, 1024, 3), dtype=np.float32)) * 2 - 1
+    f2 = jnp.asarray(rng.random((2, 448, 1024, 3), dtype=np.float32)) * 2 - 1
+    rvars2 = raft.init(jax.random.PRNGKey(0), f1[:1], f2[:1])
+    fra = jax.jit(lambda v, a, b: raft.apply(v, a, b)[-1])
+    out = fra(rvars2, f1, f2)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = fra(rvars2, f1, f2)
+    _sync(out)
+    dtra = (time.perf_counter() - t0) / 5
+    rows.append(emit("raft_large_448x1024_12it_pair_s", 2 / dtra, "pair/s"))
+    del raft, rvars2, fra
+
+    # 6i. ViT-B/16 training step b128 (VERDICT r4 #6): proves the fused
+    # transformer kernels under jax.grad (custom_vjp remat backward).
+    import optax as _optax_vit
+
+    vtx = _optax_vit.sgd(0.1, momentum=0.9)
+    vit_t = models.get_model("vit_b_16", num_classes=1000, dtype=jnp.bfloat16)
+    vtvars = vit_t.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
+                        train=False)
+    vtp = vtvars["params"]
+    vt_opt = vtx.init(vtp)
+    vxt = x[:128]
+    vyt = jnp.asarray(rng.integers(0, 1000, 128))
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def vit_train_step(params, opt_state, x, y):
+        def loss_fn(p):
+            out = vit_t.apply({"params": p}, x, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(0)})
+            return _optax_vit.softmax_cross_entropy_with_integer_labels(
+                out.astype(jnp.float32), y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = vtx.update(grads, opt_state, params)
+        return _optax_vit.apply_updates(params, updates), opt_state, loss
+
+    vout = vit_train_step(vtp, vt_opt, vxt, vyt)
+    _sync(vout[2])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        vout = vit_train_step(vout[0], vout[1], vxt, vyt)
+    _sync(vout[2])
+    dtvt = (time.perf_counter() - t0) / 10
+    vit_train_ips = 128 / dtvt
+    rows.append(emit("vit_b16_train_b128_bf16", vit_train_ips, "img/s"))
+    rows.append(emit("vit_b16_train_mfu_pct",
+                     vit_train_ips * 3 * 35.2e9 / 197e12 * 100, "%"))
+    del vit_t, vtvars, vout
 
     import optax
 

@@ -207,6 +207,62 @@ int cvt_decode_png(const uint8_t* data, size_t len, uint8_t** out, int* h,
   return CVT_OK;
 }
 
+// Decode PNG preserving bit depth: *depth returns 8 or 16 and the buffer
+// holds native-endian uint8/uint16 HWC (reference decodes 8/16-bit in C,
+// csrc/io/image/cpu/decode_png.cpp — the stereo/flow ground-truth path).
+int cvt_decode_png16(const uint8_t* data, size_t len, uint8_t** out, int* h,
+                     int* w, int* c, int* depth) {
+  if (!data || !out || !h || !w || !c || !depth) return CVT_ERR_ARGS;
+  if (png_sig_cmp(data, 0, len < 8 ? len : 8)) return CVT_ERR_FORMAT;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return CVT_ERR_ALLOC;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return CVT_ERR_ALLOC;
+  }
+  uint8_t* buffer = nullptr;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::free(buffer);
+    return CVT_ERR_DECODE;
+  }
+  CvtPngReader reader{data, len, 0};
+  png_set_read_fn(png, &reader, cvt_png_read);
+  png_read_info(png, info);
+
+  png_uint_32 W, H;
+  int bit_depth, color_type;
+  png_get_IHDR(png, info, &W, &H, &bit_depth, &color_type, nullptr, nullptr, nullptr);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+#if defined(PNG_READ_SWAP_SUPPORTED)
+  if (bit_depth == 16) png_set_swap(png);  // PNG is big-endian on disk
+#endif
+  png_read_update_info(png, info);
+
+  const int C = png_get_channels(png, info);
+  const size_t stride = png_get_rowbytes(png, info);
+  buffer = static_cast<uint8_t*>(std::malloc(static_cast<size_t>(H) * stride));
+  if (!buffer) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return CVT_ERR_ALLOC;
+  }
+  std::vector<png_bytep> rows(H);
+  for (png_uint_32 y = 0; y < H; ++y) rows[y] = buffer + y * stride;
+  png_read_image(png, rows.data());
+  png_read_end(png, nullptr);
+  const int out_depth = png_get_bit_depth(png, info);
+  png_destroy_read_struct(&png, &info, nullptr);
+  *out = buffer;
+  *h = static_cast<int>(H);
+  *w = static_cast<int>(W);
+  *c = C;
+  *depth = out_depth >= 16 ? 16 : 8;
+  return CVT_OK;
+}
+
 struct CvtPngWriter {
   std::vector<uint8_t>* out;
 };

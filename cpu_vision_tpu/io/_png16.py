@@ -27,6 +27,38 @@ def _paeth(a, b, c):
     return out.astype(np.uint8)
 
 
+def _read_png_16_native(data: bytes):
+    """Depth-preserving decode through the C shim's ``cvt_decode_png16``
+    (libpng, reference ``csrc/io/image/cpu/decode_png.cpp``); None if the
+    shim or symbol is unavailable."""
+    import ctypes
+
+    from .image import _load_lib
+
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "cvt_decode_png16"):
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = u8p()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    depth = ctypes.c_int()
+    rc = lib.cvt_decode_png16(data, len(data), ctypes.byref(out),
+                              ctypes.byref(h), ctypes.byref(w),
+                              ctypes.byref(c), ctypes.byref(depth))
+    if rc != 0:
+        return None
+    try:
+        nbytes = h.value * w.value * c.value * (depth.value // 8)
+        buf = ctypes.string_at(out, nbytes)
+    finally:
+        lib.cvt_free(out)
+    dt = np.uint16 if depth.value == 16 else np.uint8
+    arr = np.frombuffer(buf, dt).reshape(h.value, w.value, c.value)
+    return arr[:, :, 0] if c.value == 1 else arr
+
+
 def read_png_16(path_or_bytes) -> np.ndarray:
     """Decode a PNG to (H, W) or (H, W, C) uint8/uint16, preserving depth."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
@@ -36,6 +68,9 @@ def read_png_16(path_or_bytes) -> np.ndarray:
             data = f.read()
     if data[:8] != _MAGIC:
         raise ValueError("not a PNG file")
+    native = _read_png_16_native(data)
+    if native is not None:
+        return native
     pos = 8
     width = height = bit_depth = color_type = None
     idat = []

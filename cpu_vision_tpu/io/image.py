@@ -144,6 +144,20 @@ def _load_lib():
         ]
     except AttributeError:  # stale prebuilt .so without the symbol
         pass
+    try:
+        fn = lib.cvt_decode_png16
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(u8p),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+    except AttributeError:  # stale prebuilt .so without the symbol
+        pass
     lib.cvt_free.restype = None
     lib.cvt_free.argtypes = [u8p]
     lib.cvt_sniff.restype = ctypes.c_int

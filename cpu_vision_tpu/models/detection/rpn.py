@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops import batched_nms, box_iou, clip_boxes_to_image
+from ...ops import box_iou, clip_boxes_to_image
 from ._utils import BalancedPositiveNegativeSampler, BoxCoder, Matcher
 from .anchor_utils import AnchorGenerator
 
@@ -108,20 +108,37 @@ class RegionProposalNetwork(nn.Module):
             b, s = jax.vmap(per_image)(lg, dl)
             cand_boxes.append(b)
             cand_scores.append(s)
-        boxes = jnp.concatenate(cand_boxes, axis=1)  # (N, K_total, 4)
-        scores = jnp.concatenate(cand_scores, axis=1)
-        lvl_ids = jnp.concatenate(
-            [jnp.full((b.shape[1],), i, jnp.int32) for i, b in enumerate(cand_boxes)]
-        )
 
-        def nms_per_image(b, s):
-            keep = batched_nms(b, s, lvl_ids, self.nms_thresh)
-            s2 = jnp.where(keep, s, 0.0)
+        # Per-LEVEL NMS (reference semantics: ``batched_nms`` with level ids
+        # never cross-suppresses, ``rpn.py:filter_proposals``), computed as
+        # independent per-level problems instead of one coordinate-offset
+        # NMS over the concatenated 5k candidates — the quadratic IoU/
+        # suppression work factors 5x smaller, and same-k levels batch into
+        # one vmapped program over (levels x images).
+        from ...ops import nms as _nms_mask
+
+        kept_scores = [None] * len(cand_boxes)
+        by_k: Dict[int, list] = {}
+        for i, (b, s) in enumerate(zip(cand_boxes, cand_scores)):
+            by_k.setdefault(b.shape[1], []).append(i)
+        for k_lvl, idxs in by_k.items():
+            bs = jnp.stack([cand_boxes[i] for i in idxs])   # (L, N, k, 4)
+            ss = jnp.stack([cand_scores[i] for i in idxs])
+            L, N = bs.shape[:2]
+            keep = jax.vmap(lambda bb, sc: _nms_mask(bb, sc, self.nms_thresh))(
+                bs.reshape(L * N, k_lvl, 4), ss.reshape(L * N, k_lvl))
+            keep = keep.reshape(L, N, k_lvl)
+            for j, i in enumerate(idxs):
+                kept_scores[i] = jnp.where(keep[j], cand_scores[i], 0.0)
+        boxes = jnp.concatenate(cand_boxes, axis=1)  # (N, K_total, 4)
+        scores2 = jnp.concatenate(kept_scores, axis=1)
+
+        def top_per_image(b, s2):
             k2 = min(self.post_nms_top_n, s2.shape[0])
             top_s, top_i = jax.lax.top_k(s2, k2)
             return b[top_i], top_s
 
-        proposals, prop_scores = jax.vmap(nms_per_image)(boxes, scores)
+        proposals, prop_scores = jax.vmap(top_per_image)(boxes, scores2)
         objectness = jnp.concatenate(logits, axis=1)
         all_deltas = jnp.concatenate(deltas, axis=1)
         all_anchors = jnp.concatenate(anchors_per_level, axis=0)

@@ -13,6 +13,7 @@ Boxes are ``(x1, y1, x2, y2)`` float arrays of shape (N, 4) unless stated.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -171,6 +172,18 @@ def nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float) -> jax.Array:
     n = boxes.shape[0]
     order = jnp.argsort(-scores)
     sorted_boxes = boxes[order]
+    if (n >= 256 and jax.default_backend() == "tpu"
+            and os.environ.get("CVT_NMS_PALLAS", "0") == "1"):
+        # blocked VMEM-resident kernel (ops/pallas/nms.py): same exact
+        # greedy semantics with no (N, N) HBM materialisation.  OPT-IN:
+        # measured 93 ms vs XLA's 6.6 ms at N=4096 x 8 — the exactness-
+        # mandated fixed-depth in-block sweeps serialise on the VPU, and
+        # Mosaic ICEs on the convergence-checked while_loop that would fix
+        # it (recorded negative, BENCH_NOTES)
+        from .pallas.nms import nms_sorted_pallas
+
+        keep_sorted = nms_sorted_pallas(sorted_boxes[None], iou_threshold)[0]
+        return jnp.zeros((n,), bool).at[order].set(keep_sorted)
     iou = box_iou(sorted_boxes, sorted_boxes)
     # sup[j, i]: an earlier (higher-scored) box j would suppress box i
     idx = jnp.arange(n)

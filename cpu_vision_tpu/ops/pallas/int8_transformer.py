@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .transformer_block import _gelu_f32, _ln_f32, _pick_block_dh
+from .transformer_block import _gelu_f32, _ln_f32, _mha_core, _pick_block_dh
 
 __all__ = ["mlp_block_int8", "attention_block_int8", "quantize_weight"]
 
@@ -151,18 +151,7 @@ def _attn_kernel(x_ref, g_ref, b_ref, qwqkv_ref, sqkv_ref, bqkv_ref,
     qkv = (qkv.astype(jnp.float32) * sqkv_ref[...]
            + bqkv_ref[...].astype(jnp.float32)).astype(dtype)  # (S, 3D)
     d = x_ref.shape[2]
-    hd = d // heads
-    outs = []
-    for i in range(heads):
-        q = qkv[:, i * hd:(i + 1) * hd]
-        k = qkv[:, d + i * hd:d + (i + 1) * hd]
-        v = qkv[:, 2 * d + i * hd:2 * d + (i + 1) * hd]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s, axis=-1).astype(dtype)
-        outs.append(jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32))
-    o = jnp.concatenate(outs, axis=-1)            # (S, D) f32
+    o = _mha_core(qkv, d, heads, scale, dtype)    # (S, D) f32
     qo = _quant(o, inv2_ref[...])
     proj = jax.lax.dot_general(qo, qwo_ref[...], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)

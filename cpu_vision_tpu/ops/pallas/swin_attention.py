@@ -181,7 +181,19 @@ def _kernel_packed(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     s_full = s_full + biasp_ref[...][None]                   # (G, S, HS)
     if masked:
         s_full = s_full + maskp_ref[...]                     # (G, S, HS)
-    e = jnp.exp(s_full - jnp.max(s_full, axis=-1, keepdims=True)).astype(dtype)
+    # Per-HEAD row max (not global across the packed axis): with a global
+    # max, a head whose logits sit ~88+ below another head's max underflows
+    # exp() to all-zeros and the denominator clamp silently outputs ~0 for
+    # that head (reachable in the v2 cosine path where exp(logit_scale)
+    # spreads per-head logits by up to ~±100).  heads<=6 here, so a short
+    # unrolled mask-select chain keeps the reduction full-width on the VPU.
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (1, 1, HS), 2) // S
+    row_max = jnp.zeros_like(s_full)
+    for h_i in range(heads):
+        sel = col_head == h_i
+        m_h = jnp.max(jnp.where(sel, s_full, -1e30), axis=-1, keepdims=True)
+        row_max = row_max + jnp.where(sel, m_h, 0.0)
+    e = jnp.exp(s_full - row_max).astype(dtype)
     v_aug = jnp.concatenate([v] * heads, axis=1) * m1[None]  # (G, HS, C)
     av = jax.lax.dot_general(e, v_aug, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)

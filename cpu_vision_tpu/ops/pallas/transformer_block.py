@@ -27,11 +27,15 @@ matmul accumulation f32, weights applied in the compute dtype.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+# A/B switch for the in-kernel multi-head formulation (see _mha_core)
+_BATCHED_HEADS = os.environ.get("CVT_ATTN_BATCHED", "0") == "1"
 
 __all__ = ["mlp_block", "attention_block", "cn_mlp_block"]
 
@@ -170,6 +174,40 @@ def _ref_math(x, ln_g, ln_b, w1, b1, w2, b2, eps, dtype, post_norm=False):
 # VPU, all matmuls on the MXU.
 
 
+def _mha_core(qkv, d: int, heads: int, scale: float, dtype):
+    """Multi-head scores/softmax/AV inside a kernel, (S, 3D) -> (S, D) f32.
+
+    Two formulations, A/B'd on-chip (CVT_ATTN_BATCHED=1 switches):
+    - unrolled per-head loop (2*heads small K=hd matmuls)
+    - one batched ``dot_general`` over the head axis (Mosaic supports
+      batch dims; trades the per-op dispatch of the loop for two
+      (S,heads,hd) transposes)
+    """
+    s_len = qkv.shape[0]
+    hd = d // heads
+    if _BATCHED_HEADS:
+        q = qkv[:, :d].reshape(s_len, heads, hd).transpose(1, 0, 2)
+        k = qkv[:, d:2 * d].reshape(s_len, heads, hd).transpose(1, 0, 2)
+        v = qkv[:, 2 * d:].reshape(s_len, heads, hd).transpose(1, 0, 2)
+        sc = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(sc, axis=-1).astype(dtype)
+        o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        return o.transpose(1, 0, 2).reshape(s_len, d)
+    outs = []
+    for i in range(heads):
+        q = qkv[:, i * hd:(i + 1) * hd]
+        k = qkv[:, d + i * hd:d + (i + 1) * hd]
+        v = qkv[:, 2 * d + i * hd:2 * d + (i + 1) * hd]
+        sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(sc, axis=-1).astype(dtype)
+        outs.append(jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _attn_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                  o_ref, *, eps: float, heads: int, scale: float, dtype):
     x32 = x_ref[0].astype(jnp.float32)            # (S, D)
@@ -179,18 +217,7 @@ def _attn_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                               preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(dtype)  # (S, 3D)
     d = x_ref.shape[2]
-    hd = d // heads
-    outs = []
-    for i in range(heads):
-        q = qkv[:, i * hd:(i + 1) * hd]
-        k = qkv[:, d + i * hd:d + (i + 1) * hd]
-        v = qkv[:, 2 * d + i * hd:2 * d + (i + 1) * hd]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s, axis=-1).astype(dtype)
-        outs.append(jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32))
-    o = jnp.concatenate(outs, axis=-1).astype(dtype)  # (S, D)
+    o = _mha_core(qkv, d, heads, scale, dtype).astype(dtype)  # (S, D)
     o = jax.lax.dot_general(o, wo_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o_ref[0] = (x32 + o + bo_ref[...].astype(jnp.float32)).astype(o_ref.dtype)

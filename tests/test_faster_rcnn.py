@@ -38,6 +38,32 @@ class TestMultiscaleRoiAlign:
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref_small[0]), atol=1e-5)
         np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref_big[0]), atol=1e-5)
 
+    def test_pyramid_matches_pool_everywhere(self, rng, monkeypatch):
+        """roi_align_pyramid (one gather at the roi's own level) must equal
+        the pool-at-every-level-and-select formulation bit-for-bit in f32,
+        including edge rois that exercise the per-level clamping."""
+        import os
+
+        f = [jnp.asarray(rng.random((2, 80, 80, 16), dtype=np.float32)),
+             jnp.asarray(rng.random((2, 40, 40, 16), dtype=np.float32)),
+             jnp.asarray(rng.random((2, 20, 20, 16), dtype=np.float32)),
+             jnp.asarray(rng.random((2, 10, 10, 16), dtype=np.float32))]
+        scales = [1 / 4, 1 / 8, 1 / 16, 1 / 32]
+        # mixed sizes incl. map-edge and out-of-bounds rois
+        rois = jnp.asarray([
+            [0, 5.0, 5, 60, 60],
+            [1, 0.0, 0, 319, 319],
+            [0, 100.0, 100, 319, 300],
+            [1, 310.0, 310, 320, 320],   # clamps at the bottom-right edge
+            [0, -4.0, -4, 30, 30],       # negative start
+            [1, 40.0, 8, 296, 160],
+        ])
+        out_pyr = multiscale_roi_align(f, rois, (7, 7), scales=scales)
+        monkeypatch.setenv("CVT_ROI_ALLLEVEL", "1")
+        out_all = multiscale_roi_align(f, rois, (7, 7), scales=scales)
+        np.testing.assert_allclose(np.asarray(out_pyr), np.asarray(out_all),
+                                   atol=1e-6)
+
 
 @pytest.fixture(scope="module")
 def frcnn():

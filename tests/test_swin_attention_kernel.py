@@ -61,6 +61,47 @@ def test_kernel_matches_oracle(nw, s, c, heads, v2, masked, nw_img):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_packed_per_head_softmax_extreme_spread():
+    """Regression (ADVICE r4): the packed path must subtract a PER-HEAD row
+    max.  With a global max, a head sitting ~100 logits below another
+    head's max underflows exp() to all-zeros and silently outputs ~0.
+    Drive the v2 cosine path with per-head logit scales spread 0.01..100
+    (cosine logits in [-1,1] -> per-head logit ranges ±100 vs ±0.01)."""
+    rng = np.random.default_rng(7)
+    nw, s, c, heads, nw_img = 16, 64, 96, 3, 16
+    x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, bias, mask, _ = _mk(
+        rng, nw, s, c, heads, True, False, nw_img)
+    ls = jnp.asarray([100.0, 0.01, 1.0], jnp.float32)
+    bias = bias * 0.0  # keep the spread purely from the per-head scales
+    scale = float((c // heads) ** -0.5)
+    out = window_attention_block(
+        x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, bias, None, ls, heads, scale,
+        1e-5, True, nw_img, jax.default_backend() != "tpu")
+    ref = _ref_math(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, bias, None, ls,
+                    heads, scale, 1e-5, True, nw_img, w_qkv.dtype)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_packed_per_head_softmax_v1_bias_offset():
+    """Same failure mode in v1: a large constant per-head bias offset is a
+    softmax no-op per head, and must stay one through the packed kernel."""
+    rng = np.random.default_rng(8)
+    nw, s, c, heads, nw_img = 64, 49, 96, 3, 64
+    x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, bias, mask, _ = _mk(
+        rng, nw, s, c, heads, False, False, nw_img)
+    off = jnp.asarray([0.0, -150.0, 120.0], jnp.float32)
+    bias = bias + off[:, None, None]
+    scale = float((c // heads) ** -0.5)
+    out = window_attention_block(
+        x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, bias, None, None, heads,
+        scale, 1e-5, False, nw_img, jax.default_backend() != "tpu")
+    ref = _ref_math(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, bias, None, None,
+                    heads, scale, 1e-5, False, nw_img, w_qkv.dtype)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_kernel_matches_oracle_bf16():
     rng = np.random.default_rng(1)
     nw, s, c, heads = 16, 49, 192, 6
