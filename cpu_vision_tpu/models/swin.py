@@ -191,6 +191,29 @@ class _WinAttnParams(nn.Module):
         return wqkv, bqkv, wo, bo, bias, None
 
 
+class MaskedLayerNorm(nn.Module):
+    """LayerNorm whose statistics cover only the first ``count`` REAL
+    channels of a zero-padded lane layout (channel-padded swin variant).
+    Padded channels hold zeros, so sums over all channels equal sums over
+    real ones; zero-padded scale/bias keep padded outputs at exactly zero.
+    Param slots match ``nn.LayerNorm`` (scale/bias)."""
+
+    count: int
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = self.param("scale", nn.initializers.ones, (c,))
+        b = self.param("bias", nn.initializers.zeros, (c,))
+        x32 = x.astype(jnp.float32)
+        m = jnp.sum(x32, -1, keepdims=True) / self.count
+        v = jnp.sum(x32 * x32, -1, keepdims=True) / self.count - m * m
+        y = (x32 - m) * jax.lax.rsqrt(v + self.epsilon)
+        return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
@@ -200,6 +223,18 @@ class SwinBlock(nn.Module):
     sd_prob: float = 0.0
     v2: bool = False
     dtype: Any = jnp.float32
+    # channel-padded variant (pad_dims experiment): number of REAL channels
+    # when `dim` is zero-padded to a 128 lane multiple; 0 = dim (native).
+    # LN statistics normalise over real_dim, the MLP hidden sizes off it,
+    # and zero-padded weights keep padded lanes at exactly zero.
+    real_dim: int = 0
+
+    def _ln(self, name):
+        real = self.real_dim
+        if real and real != self.dim:
+            return MaskedLayerNorm(real, epsilon=1e-5, dtype=self.dtype,
+                                   name=name)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -249,7 +284,8 @@ class SwinBlock(nn.Module):
                 _window_partition(y, ws), g0, b0, wqkv.astype(self.dtype),
                 bqkv, wo.astype(self.dtype), bo, bias, mask, ls,
                 self.num_heads, float(c // self.num_heads) ** -0.5, 1e-5,
-                self.v2, nw_img, jax.default_backend() != "tpu")
+                self.v2, nw_img, jax.default_backend() != "tpu",
+                self.real_dim if self.real_dim != c else 0)
             y = _window_reverse(out, ws, n, ph, pw)
             if shifted:
                 y = jnp.roll(y, (shift_h, shift_w), axis=(1, 2))
@@ -257,8 +293,7 @@ class SwinBlock(nn.Module):
         else:
             res = x
             # V2 uses post-norm (norm applied to the branch output)
-            y = x if self.v2 else nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                                               name="LayerNorm_0")(x)
+            y = x if self.v2 else self._ln("LayerNorm_0")(x)
             if (ph, pw) != (h, w):
                 y = jnp.pad(y, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
             if shifted:
@@ -275,11 +310,10 @@ class SwinBlock(nn.Module):
             if (ph, pw) != (h, w):
                 y = y[:, :h, :w, :]
             if self.v2:
-                y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                                 name="LayerNorm_0")(y)
+                y = self._ln("LayerNorm_0")(y)
             x = res + StochasticDepth(self.sd_prob, "row")(y, train)
 
-        dh = int(self.dim * self.mlp_ratio)
+        dh = int((self.real_dim or self.dim) * self.mlp_ratio)
         it = jnp.dtype(self.dtype).itemsize
         # c need only be sublane-tileable: Mosaic pads a 96/192-lane minor
         # dim to 128 (25%/50% lane waste) which still beats the layouts XLA
@@ -303,19 +337,18 @@ class SwinBlock(nn.Module):
                 x.reshape(-1, c), g, b, w1.astype(self.dtype), b1,
                 w2.astype(self.dtype), b2, 1e-5, 256,
                 jax.default_backend() != "tpu", self.v2,
+                self.real_dim if self.real_dim != c else 0,
             )
             return out.reshape(x.shape)
 
-        y = x if self.v2 else nn.LayerNorm(
-            epsilon=1e-5, dtype=self.dtype, name="LayerNorm_1")(x)
+        y = x if self.v2 else self._ln("LayerNorm_1")(x)
         y = nn.Dense(dh, dtype=self.dtype, name="Dense_0")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="Dense_1")(y)
         if self.v2:
             # v2's only LN in this sub-block — same LayerNorm_1 slot the
             # v1 pre-norm (and the fused path) uses
-            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                             name="LayerNorm_1")(y)
+            y = self._ln("LayerNorm_1")(y)
         return x + StochasticDepth(self.sd_prob, "row")(y, train)
 
 
@@ -326,6 +359,10 @@ class PatchMerging(nn.Module):
     dim_out: int
     v2: bool = False
     dtype: Any = jnp.float32
+    # channel-padded variant: real channels per input feature vector (the
+    # LN over the 4C concat normalises over 4*real_in) and in the output
+    real_in: int = 0
+    real_out: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -341,8 +378,16 @@ class PatchMerging(nn.Module):
         x = x.reshape(n, h // 2, w // 2, 4 * c)
         if self.v2:
             x = nn.Dense(self.dim_out, use_bias=False, dtype=self.dtype)(x)
+            if self.real_out and self.real_out != self.dim_out:
+                return MaskedLayerNorm(self.real_out, epsilon=1e-5,
+                                       dtype=self.dtype,
+                                       name="LayerNorm_0")(x)
             return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        if self.real_in and 4 * self.real_in != 4 * c:
+            x = MaskedLayerNorm(4 * self.real_in, epsilon=1e-5,
+                                dtype=self.dtype, name="LayerNorm_0")(x)
+        else:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return nn.Dense(self.dim_out, use_bias=False, dtype=self.dtype)(x)
 
 
@@ -357,28 +402,51 @@ class SwinTransformer(nn.Module):
     num_classes: int = 1000
     v2: bool = False
     dtype: Any = jnp.float32
+    # round every stage's channel dim up to the 128-lane tile (96 -> 128,
+    # 192 -> 256): padded lanes carry exact zeros (masked LN + zero-padded
+    # weights), head count scales to keep head_dim, and the K-contractions
+    # run at full MXU lane occupancy (tools/k96_ab.py: K=96 mlp matmul
+    # 6.26 -> 3.94 ms zero-padded to 128).  Weight converter:
+    # models/swin_padded.pad_swin_variables.
+    pad_channels: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        def pdim(real):
+            return -(-real // 128) * 128 if self.pad_channels else real
+
         # patchify as space-to-depth matmul (models/layers.py:PatchifyDense)
-        x = PatchifyDense(self.embed_dim, (4, 4), dtype=self.dtype, name="Conv_0")(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        real = self.embed_dim
+        x = PatchifyDense(pdim(real), (4, 4), dtype=self.dtype, name="Conv_0")(x)
+        if pdim(real) != real:
+            x = MaskedLayerNorm(real, epsilon=1e-5, dtype=self.dtype,
+                                name="LayerNorm_0")(x)
+        else:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         total = sum(self.depths)
         bid = 0
-        dim = self.embed_dim
         for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             if stage > 0:
-                dim *= 2
-                x = PatchMerging(dim, v2=self.v2, dtype=self.dtype)(x)
+                real_prev, real = real, real * 2
+                x = PatchMerging(pdim(real), v2=self.v2, dtype=self.dtype,
+                                 real_in=real_prev if pdim(real_prev) != real_prev or pdim(real) != real else 0,
+                                 real_out=real)(x)
+            dim = pdim(real)
+            hd = real // heads
+            x_heads = dim // hd
             for blk in range(depth):
                 sd = self.sd_prob * bid / max(total - 1, 1)
                 x = SwinBlock(
-                    dim, heads, self.window_size,
+                    dim, x_heads, self.window_size,
                     shift=0 if blk % 2 == 0 else self.window_size // 2,
                     sd_prob=sd, v2=self.v2, dtype=self.dtype,
+                    real_dim=real if dim != real else 0,
                 )(x, train)
                 bid += 1
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        # padded mode: keep the native auto-name slot (stem=LayerNorm_0,
+        # final=LayerNorm_1) so converted checkpoints line up
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         name="LayerNorm_1" if self.pad_channels else None)(x)
         x = jnp.mean(x, axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 

@@ -39,11 +39,20 @@ from jax.experimental import pallas as pl
 __all__ = ["window_attention_block"]
 
 
-def _ln_f32(x, g, b, eps):
-    m = jnp.mean(x, axis=-1, keepdims=True)
-    c = x - m
-    v = jnp.mean(c * c, axis=-1, keepdims=True)
-    return c * jax.lax.rsqrt(v + eps) * g + b
+def _ln_f32(x, g, b, eps, count=0):
+    if not count:
+        m = jnp.mean(x, axis=-1, keepdims=True)
+        c = x - m
+        v = jnp.mean(c * c, axis=-1, keepdims=True)
+        return c * jax.lax.rsqrt(v + eps) * g + b
+    # masked stats over the first `count` REAL channels of a zero-padded
+    # lane layout (channel-padded swin variant): pad channels hold zeros,
+    # so sums over all channels equal sums over real ones, and
+    # sum((x-m)^2 * real_mask) == sum(x^2) - count*m^2 exactly
+    m = jnp.sum(x, axis=-1, keepdims=True) / count
+    d = x - m
+    v = jnp.sum(x * x, axis=-1, keepdims=True) / count - m * m
+    return d * jax.lax.rsqrt(v + eps) * g + b
 
 
 def _softmax_f32(s):
@@ -54,7 +63,7 @@ def _softmax_f32(s):
 
 def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
             bias_ref, mask_ref, ls_ref, o_ref, *, heads: int, scale: float,
-            eps: float, dtype, v2: bool, masked: bool):
+            eps: float, dtype, v2: bool, masked: bool, ln_count: int = 0):
     # S is padded to a sublane multiple (8) by the caller, so every
     # per-window row slice below is tile-aligned and the LN/QKV/proj
     # matmuls batch over ALL G windows at once: (G*S, C) rows fill the
@@ -67,7 +76,7 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     b32 = b_ref[...].astype(jnp.float32)
     mask_p = mask_ref.shape[0] if masked else 1
     x32 = x_ref[...].astype(jnp.float32).reshape(G * S, C)
-    h = x32.astype(dtype) if v2 else _ln_f32(x32, g32, b32, eps).astype(dtype)
+    h = x32.astype(dtype) if v2 else _ln_f32(x32, g32, b32, eps, ln_count).astype(dtype)
     qkv_all = jax.lax.dot_general(h, wqkv_ref[...], (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
     qkv_all = qkv_all + bqkv_ref[...].astype(jnp.float32)        # (G*S, 3C)
@@ -106,14 +115,14 @@ def _kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                             preferred_element_type=jnp.float32)
     o = o + bo_ref[...].astype(jnp.float32)
     if v2:
-        o = _ln_f32(o, g32, b32, eps)
+        o = _ln_f32(o, g32, b32, eps, ln_count)
     o_ref[...] = (x32 + o).astype(o_ref.dtype).reshape(G, S, C)
 
 
 def _kernel_packed(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                    biasp_ref, maskp_ref, m1_ref, m2_ref, lsp_ref, o_ref, *,
                    heads: int, scale: float, eps: float, dtype, v2: bool,
-                   masked: bool):
+                   masked: bool, ln_count: int = 0):
     """Head-PACKED window attention for small head counts (swin stages 1-2).
 
     The per-(window, head) loop of ``_kernel`` issues ~6 tiny matmuls and
@@ -150,7 +159,7 @@ def _kernel_packed(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     if v2:
         h = x32.astype(dtype)
     else:
-        h = _ln_f32(x32, g32, b32, eps).astype(dtype)
+        h = _ln_f32(x32, g32, b32, eps, ln_count).astype(dtype)
     qkv_all = jax.lax.dot_general(h, wqkv_ref[...], (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
     qkv_all = qkv_all + bqkv_ref[...].astype(jnp.float32)    # (G*S, 3C)
@@ -205,7 +214,7 @@ def _kernel_packed(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                             preferred_element_type=jnp.float32)
     o = o + bo_ref[...].astype(jnp.float32)
     if v2:
-        o = _ln_f32(o, g32, b32, eps)
+        o = _ln_f32(o, g32, b32, eps, ln_count)
     o_ref[...] = (x32 + o).astype(o_ref.dtype).reshape(G, S, C)
 
 
@@ -223,7 +232,8 @@ def pick_group(nw_total: int, nw_img: int, heads: int, masked: bool) -> int:
 
 
 def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
-                logit_scale, heads, scale, eps, v2, nw_img, interpret):
+                logit_scale, heads, scale, eps, v2, nw_img, interpret,
+                ln_count: int = 0):
     nw, s0, c = x.shape
     masked = mask is not None
     # pad the token dim to a sublane multiple so the kernel's per-window
@@ -257,7 +267,8 @@ def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
             g = gp
         return _fwd_pallas_packed(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o,
                                   rel_bias, mask, logit_scale, heads, scale,
-                                  eps, v2, nw_img, g, s0, s, interpret)
+                                  eps, v2, nw_img, g, s0, s, interpret,
+                                  ln_count)
     if masked:
         p = min(g, nw_img)
         mask_spec = pl.BlockSpec(
@@ -269,7 +280,7 @@ def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
     if logit_scale is None:
         logit_scale = jnp.zeros((heads,), jnp.float32)
     out = pl.pallas_call(
-        partial(_kernel, heads=heads, scale=scale, eps=eps, dtype=w_qkv.dtype,
+        partial(_kernel, ln_count=ln_count, heads=heads, scale=scale, eps=eps, dtype=w_qkv.dtype,
                 v2=v2, masked=masked),
         grid=(nw // g,),
         in_specs=[
@@ -296,7 +307,7 @@ def _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
 
 def _fwd_pallas_packed(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
                        logit_scale, heads, scale, eps, v2, nw_img, g, s0, s,
-                       interpret):
+                       interpret, ln_count: int = 0):
     nw, _, c = x.shape
     masked = mask is not None
     hs = heads * s
@@ -331,7 +342,7 @@ def _fwd_pallas_packed(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
         mask_packed = jnp.zeros((1, s, hs), jnp.float32)
         mask_spec = pl.BlockSpec((1, s, hs), lambda i: (0, 0, 0))
     out = pl.pallas_call(
-        partial(_kernel_packed, heads=heads, scale=scale, eps=eps,
+        partial(_kernel_packed, ln_count=ln_count, heads=heads, scale=scale, eps=eps,
                 dtype=w_qkv.dtype, v2=v2, masked=masked),
         grid=(nw // g,),
         in_specs=[
@@ -358,13 +369,14 @@ def _fwd_pallas_packed(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
 
 
 def _ref_math(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
-              logit_scale, heads, scale, eps, v2, nw_img, dtype):
+              logit_scale, heads, scale, eps, v2, nw_img, dtype,
+              ln_count: int = 0):
     """Same math in plain XLA ops (backward recompute + test oracle)."""
     nw, s, c = x.shape
     hd = c // heads
     x32 = x.astype(jnp.float32)
     g32, bb32 = ln_g.astype(jnp.float32), ln_b.astype(jnp.float32)
-    h = x32.astype(dtype) if v2 else _ln_f32(x32, g32, bb32, eps).astype(dtype)
+    h = x32.astype(dtype) if v2 else _ln_f32(x32, g32, bb32, eps, ln_count).astype(dtype)
     qkv = (jnp.dot(h, w_qkv, preferred_element_type=jnp.float32)
            + b_qkv.astype(jnp.float32))
     q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
@@ -391,15 +403,15 @@ def _ref_math(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
     o = o.reshape(nw, s, c).astype(dtype)
     o = jnp.dot(o, w_o, preferred_element_type=jnp.float32) + b_o.astype(jnp.float32)
     if v2:
-        o = _ln_f32(o, g32, bb32, eps)
+        o = _ln_f32(o, g32, bb32, eps, ln_count)
     return (x32 + o).astype(x.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15, 16))
 def window_attention_block(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias,
                            mask, logit_scale, heads: int, scale: float,
                            eps: float, v2: bool, nw_img: int,
-                           interpret: bool = False):
+                           interpret: bool = False, ln_count: int = 0):
     """Fused Swin attention sub-block over ``x`` (num_windows, S, C).
 
     ``rel_bias`` is the (heads, S, S) position bias (v1: gathered table;
@@ -409,18 +421,19 @@ def window_attention_block(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias,
     """
     return _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias,
                        mask, logit_scale, heads, scale, eps, v2, nw_img,
-                       interpret)
+                       interpret, ln_count)
 
 
 def _fwd(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask, logit_scale,
-         heads, scale, eps, v2, nw_img, interpret):
+         heads, scale, eps, v2, nw_img, interpret, ln_count=0):
     out = _fwd_pallas(x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
-                      logit_scale, heads, scale, eps, v2, nw_img, interpret)
+                      logit_scale, heads, scale, eps, v2, nw_img, interpret,
+                      ln_count)
     return out, (x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask,
                  logit_scale)
 
 
-def _bwd(heads, scale, eps, v2, nw_img, interpret, res, g):
+def _bwd(heads, scale, eps, v2, nw_img, interpret, ln_count, res, g):
     x, ln_g, ln_b, w_qkv, b_qkv, w_o, b_o, rel_bias, mask, logit_scale = res
     has_mask = mask is not None
     has_ls = logit_scale is not None
@@ -432,7 +445,7 @@ def _bwd(heads, scale, eps, v2, nw_img, interpret, res, g):
         xx, lg, lb, wq, bq, wo, bo, rb = a[:8]
         ls = a[8] if has_ls else None
         out = _ref_math(xx, lg, lb, wq, bq, wo, bo, rb, mask, ls, heads,
-                        scale, eps, v2, nw_img, w_qkv.dtype)
+                        scale, eps, v2, nw_img, w_qkv.dtype, ln_count)
         return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
 
     grads = jax.grad(loss, argnums=tuple(range(len(diff))))(*diff)

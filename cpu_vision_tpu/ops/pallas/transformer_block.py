@@ -56,15 +56,22 @@ def _gelu_f32(h):
     return 0.5 * h * (1.0 + _erf_f32(h * (1.0 / jnp.sqrt(2.0))))
 
 
-def _ln_f32(x, g, b, eps):
-    m = jnp.mean(x, axis=-1, keepdims=True)
-    c = x - m
-    v = jnp.mean(c * c, axis=-1, keepdims=True)
-    return c * jax.lax.rsqrt(v + eps) * g + b
+def _ln_f32(x, g, b, eps, count=0):
+    if not count:
+        m = jnp.mean(x, axis=-1, keepdims=True)
+        c = x - m
+        v = jnp.mean(c * c, axis=-1, keepdims=True)
+        return c * jax.lax.rsqrt(v + eps) * g + b
+    # masked stats over the first `count` real channels of a zero-padded
+    # lane layout (channel-padded swin variant; see swin_attention._ln_f32)
+    m = jnp.sum(x, axis=-1, keepdims=True) / count
+    d = x - m
+    v = jnp.sum(x * x, axis=-1, keepdims=True) / count - m * m
+    return d * jax.lax.rsqrt(v + eps) * g + b
 
 
 def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-            acc_ref, *, eps: float, dtype, post_norm: bool):
+            acc_ref, *, eps: float, dtype, post_norm: bool, ln_count: int = 0):
     # grid is (m_tiles, dh_tiles) with the hidden dim innermost: each j
     # computes a partial down-projection into the f32 VMEM accumulator, so
     # models whose full (d, dh) weights exceed VMEM (ViT-L/H) stream the
@@ -78,7 +85,7 @@ def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     if post_norm:
         h = x32.astype(dtype)
     else:
-        h = _ln_f32(x32, g32, b32, eps).astype(dtype)
+        h = _ln_f32(x32, g32, b32, eps, ln_count).astype(dtype)
     hj = jax.lax.dot_general(h, w1_ref[...], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     hj = _gelu_f32(hj + b1_ref[...].astype(jnp.float32)).astype(dtype)
@@ -97,7 +104,7 @@ def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     def _():
         branch = acc_ref[...]
         if post_norm:
-            branch = _ln_f32(branch, g32, b32, eps)
+            branch = _ln_f32(branch, g32, b32, eps, ln_count)
         o_ref[...] = (x32 + branch).astype(o_ref.dtype)
 
 
@@ -116,7 +123,7 @@ def _pick_block_dh(d, dh, itemsize):
 
 
 def _fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret,
-                post_norm=False):
+                post_norm=False, ln_count=0):
     from jax.experimental.pallas import tpu as pltpu
 
     m, d = x.shape
@@ -125,7 +132,8 @@ def _fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret,
     mp = -(-m // block_m) * block_m
     xp = jnp.pad(x, ((0, mp - m), (0, 0))) if mp != m else x
     out = pl.pallas_call(
-        partial(_kernel, eps=eps, dtype=w1.dtype, post_norm=post_norm),
+        partial(_kernel, eps=eps, dtype=w1.dtype, post_norm=post_norm,
+                ln_count=ln_count),
         grid=(mp // block_m, dh // bdh),
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
@@ -145,18 +153,19 @@ def _fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret,
     return out[:m]
 
 
-def _ref_math(x, ln_g, ln_b, w1, b1, w2, b2, eps, dtype, post_norm=False):
+def _ref_math(x, ln_g, ln_b, w1, b1, w2, b2, eps, dtype, post_norm=False,
+              ln_count=0):
     """The same math in plain XLA ops (used for the backward recompute)."""
     x32 = x.astype(jnp.float32)
     g32, bb32 = ln_g.astype(jnp.float32), ln_b.astype(jnp.float32)
-    h = x32.astype(dtype) if post_norm else _ln_f32(x32, g32, bb32,
-                                                    eps).astype(dtype)
+    h = x32.astype(dtype) if post_norm else _ln_f32(x32, g32, bb32, eps,
+                                                    ln_count).astype(dtype)
     h = jnp.dot(h, w1, preferred_element_type=jnp.float32)
     h = _gelu_f32(h + b1.astype(jnp.float32)).astype(dtype)
     h = jnp.dot(h, w2, preferred_element_type=jnp.float32)
     h = h + b2.astype(jnp.float32)
     if post_norm:
-        h = _ln_f32(h, g32, bb32, eps)
+        h = _ln_f32(h, g32, bb32, eps, ln_count)
     return (x32 + h).astype(x.dtype)
 
 
@@ -299,10 +308,10 @@ def _attn_bwd(heads, scale, eps, interpret, res, g):
 attention_block.defvjp(_attn_fwd, _attn_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def mlp_block(x, ln_g, ln_b, w1, b1, w2, b2, eps: float = 1e-6,
               block_m: int = 512, interpret: bool = False,
-              post_norm: bool = False):
+              post_norm: bool = False, ln_count: int = 0):
     """``x + Dense2(gelu(Dense1(LN(x))))`` for 2-D ``x`` (tokens, d) —
     or, with ``post_norm=True`` (Swin v2), ``x + LN(Dense2(gelu(Dense1(x))))``.
 
@@ -311,20 +320,21 @@ def mlp_block(x, ln_g, ln_b, w1, b1, w2, b2, eps: float = 1e-6,
     ``post_norm`` are static.
     """
     return _fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m,
-                       interpret, post_norm)
+                       interpret, post_norm, ln_count)
 
 
-def _fwd(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret, post_norm):
+def _fwd(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m, interpret, post_norm,
+         ln_count):
     out = _fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, eps, block_m,
-                      interpret, post_norm)
+                      interpret, post_norm, ln_count)
     return out, (x, ln_g, ln_b, w1, b1, w2, b2)
 
 
-def _bwd(eps, block_m, interpret, post_norm, res, g):
+def _bwd(eps, block_m, interpret, post_norm, ln_count, res, g):
     x, ln_g, ln_b, w1, b1, w2, b2 = res
     grads = jax.grad(
         lambda *a: jnp.sum(
-            _ref_math(*a, eps, w1.dtype, post_norm).astype(jnp.float32) *
+            _ref_math(*a, eps, w1.dtype, post_norm, ln_count).astype(jnp.float32) *
             g.astype(jnp.float32)),
         argnums=tuple(range(7)),
     )(x, ln_g, ln_b, w1, b1, w2, b2)

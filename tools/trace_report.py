@@ -153,6 +153,19 @@ def workload_frcnn_bf16():
     return _frcnn(jnp.bfloat16)
 
 
+def workload_int8_vit():
+    from cpu_vision_tpu import models
+    from cpu_vision_tpu.models.quantization_vit import Int8ViT
+
+    vit = models.get_model("vit_b_16", num_classes=1000, dtype=jnp.bfloat16)
+    v = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((256, 224, 224, 3), dtype=np.float32))
+    eng = Int8ViT.from_model(vit, v).calibrate([x[:8]])
+    f = jax.jit(eng)
+    return (lambda s: (s, f(x))), None
+
+
 def workload_effnet_infer():
     from cpu_vision_tpu import models
 
@@ -181,6 +194,7 @@ WORKLOADS = {
     "frcnn_bf16": workload_frcnn_bf16,
     "effnet_infer": workload_effnet_infer,
     "mnv3_infer": workload_mnv3_infer,
+    "int8_vit": workload_int8_vit,
     "convnext_infer": workload_convnext_infer,
     "r50_infer": workload_r50_infer,
     "vit_infer": workload_vit_infer,
