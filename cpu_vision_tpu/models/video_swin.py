@@ -118,6 +118,33 @@ class WindowAttention3d(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
+class _WinAttn3dParams(nn.Module):
+    """``WindowAttention3d``'s parameter tree as raw arrays for the fused
+    kernel — slots identical (qkv/proj Dense + bias table) so converters,
+    checkpoints and param-parity tests are unchanged."""
+
+    dim: int
+    num_heads: int
+    window_size: Tuple[int, int, int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, vol: int):
+        from .swin import _SlotDense
+
+        c, nh, ws = self.dim, self.num_heads, self.window_size
+        wqkv, bqkv = _SlotDense((c, 3 * c), name="qkv")()
+        wo, bo = _SlotDense((c, c), name="proj")()
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.normal(stddev=0.02),
+            ((2 * ws[0] - 1) * (2 * ws[1] - 1) * (2 * ws[2] - 1), nh),
+        )
+        idx = jnp.asarray(_relative_position_index_3d(ws)[:vol, :vol].reshape(-1))
+        bias = table[idx].reshape(vol, vol, nh).transpose(2, 0, 1)
+        return wqkv, bqkv, wo, bo, bias
+
+
 class SwinBlock3d(nn.Module):
     dim: int
     num_heads: int
@@ -131,31 +158,94 @@ class SwinBlock3d(nn.Module):
     def __call__(self, x, train: bool = False):
         b, t, h, w, c = x.shape
         ws, shift = _adapt_window((t, h, w), self.window_size, self.shift_size)
-        res = x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         pads = [(d + ws[i] - 1) // ws[i] * ws[i] for i, d in enumerate((t, h, w))]
         pt, ph, pw = pads
-        if (pt, ph, pw) != (t, h, w):
-            y = jnp.pad(y, ((0, 0), (0, pt - t), (0, ph - h), (0, pw - w), (0, 0)))
-        if sum(shift) > 0:
-            y = jnp.roll(y, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
-            mask = _attention_mask_3d((pt, ph, pw), ws, shift)
+        shifted = sum(shift) > 0
+        vol = ws[0] * ws[1] * ws[2]
+        nw_img = (pt // ws[0]) * (ph // ws[1]) * (pw // ws[2])
+
+        # fused path (same kernel as 2D swin, 3D windows flattened to
+        # S = wt*wh*ww tokens; Kinetics 16x224^2 runs it at stages 1-3 —
+        # stage 4's (24, 392, 392) bias exceeds the VMEM budget).
+        # Unpadded maps only: LN ordering vs zero-padding differs otherwise.
+        from ..ops.pallas.swin_attention import window_attention_block
+
+        it = jnp.dtype(self.dtype).itemsize
+        from ..ops.pallas.swin_attention import pick_group
+
+        gsel = pick_group(b * nw_img, nw_img, self.num_heads, shifted)
+        attn_fusable = (
+            (not train or self.sd_prob == 0.0)
+            and (pt, ph, pw) == (t, h, w)
+            and c % 8 == 0 and vol % 8 == 0
+            and (4 * c * c * it + self.num_heads * vol * vol * 4
+                 + 2 * gsel * vol * c * (4 + it)
+                 + vol * 3 * c * 4) <= 12_500_000)
+        if attn_fusable:
+            from .vision_transformer import _LNParams
+
+            g0, b0 = _LNParams(c, name="LayerNorm_0")()
+            wqkv, bqkv, wo, bo, bias = _WinAttn3dParams(
+                c, self.num_heads, tuple(self.window_size), self.dtype,
+                name="WindowAttention3d_0")(vol)
+            mask = (_attention_mask_3d((pt, ph, pw), ws, shift)
+                    if shifted else None)
+            y = (jnp.roll(x, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+                 if shifted else x)
+            out = window_attention_block(
+                _window_partition_3d(y, ws), g0, b0,
+                wqkv.astype(self.dtype), bqkv, wo.astype(self.dtype), bo,
+                bias, mask, None, self.num_heads,
+                float(c // self.num_heads) ** -0.5, 1e-5, False, nw_img,
+                jax.default_backend() != "tpu")
+            y = _window_reverse_3d(out, ws, b, pt, ph, pw)
+            if shifted:
+                y = jnp.roll(y, shift, axis=(1, 2, 3))
+            x = y
         else:
-            mask = None
-        windows = _window_partition_3d(y, ws)
-        attn = WindowAttention3d(
-            self.dim, self.num_heads, tuple(self.window_size), self.dtype
-        )(windows, mask)
-        y = _window_reverse_3d(attn, ws, b, pt, ph, pw)
-        if sum(shift) > 0:
-            y = jnp.roll(y, shift, axis=(1, 2, 3))
-        if (pt, ph, pw) != (t, h, w):
-            y = y[:, :t, :h, :w, :]
-        x = res + StochasticDepth(self.sd_prob, "row")(y, train)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(y)
+            res = x
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name="LayerNorm_0")(x)
+            if (pt, ph, pw) != (t, h, w):
+                y = jnp.pad(y, ((0, 0), (0, pt - t), (0, ph - h),
+                                (0, pw - w), (0, 0)))
+            if shifted:
+                y = jnp.roll(y, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+                mask = _attention_mask_3d((pt, ph, pw), ws, shift)
+            else:
+                mask = None
+            windows = _window_partition_3d(y, ws)
+            attn = WindowAttention3d(
+                self.dim, self.num_heads, tuple(self.window_size), self.dtype,
+                name="WindowAttention3d_0",
+            )(windows, mask)
+            y = _window_reverse_3d(attn, ws, b, pt, ph, pw)
+            if shifted:
+                y = jnp.roll(y, shift, axis=(1, 2, 3))
+            if (pt, ph, pw) != (t, h, w):
+                y = y[:, :t, :h, :w, :]
+            x = res + StochasticDepth(self.sd_prob, "row")(y, train)
+
+        dh = int(self.dim * self.mlp_ratio)
+        mlp_fusable = ((not train or self.sd_prob == 0.0) and c % 8 == 0
+                       and (2 * c * dh * it <= 10_000_000 or dh % 256 == 0))
+        if mlp_fusable:
+            from ..ops.pallas.transformer_block import mlp_block
+            from .vision_transformer import _DenseParams, _LNParams
+
+            g, bb = _LNParams(c, name="LayerNorm_1")()
+            w1, b1 = _DenseParams((c, dh), name="Dense_0")()
+            w2, b2 = _DenseParams((dh, c), name="Dense_1")()
+            out = mlp_block(
+                x.reshape(-1, c), g, bb, w1.astype(self.dtype), b1,
+                w2.astype(self.dtype), b2, 1e-5, 256,
+                jax.default_backend() != "tpu")
+            return out.reshape(x.shape)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         name="LayerNorm_1")(x)
+        y = nn.Dense(dh, dtype=self.dtype, name="Dense_0")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, dtype=self.dtype)(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="Dense_1")(y)
         return x + StochasticDepth(self.sd_prob, "row")(y, train)
 
 
