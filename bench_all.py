@@ -314,6 +314,21 @@ def main():
                          ips * gmacs * 2e9 / 197e12 * 100, "%"))
         del bm, bvars, fb
 
+    # 6c3. channel-padded swin_t (models/swin_padded.py): stage dims
+    # rounded to 128 lanes, same function as native (parity-tested), MFU
+    # quoted against the NATIVE model's useful FLOPs.
+    from cpu_vision_tpu.models.swin_padded import swin_t_padded
+
+    swp = swin_t_padded(num_classes=1000, dtype=jnp.bfloat16)
+    swv = swp.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
+                   train=False)
+    fsw = jax.jit(lambda v, t: swp.apply(v, t, train=False))
+    dtsw = bench(fsw, swv, x, iters=10)
+    rows.append(emit("swin_t_padded_infer_b256_bf16", 256 / dtsw, "img/s"))
+    rows.append(emit("swin_t_padded_useful_mfu_pct",
+                     256 / dtsw * 4.49e9 * 2 / 197e12 * 100, "%"))
+    del swp, swv, fsw
+
     # 6d. detection end-to-end (fixed-shape redesign): FasterRCNN-R50-FPN
     # inference at 640x640 b8 — backbone + RPN + RoI heads + NMS, all one
     # jitted program (the reference runs this as a Python pipeline over
@@ -553,56 +568,90 @@ def main():
         for r in rows:
             f.write(f"| {r['metric']} | {r['value']} | {r['unit']} | {r.get('vs_baseline', '-')} |\n")
         f.write(
-            "\nSwin-MFU attribution (round 4, tools/swin_ab.py + component microbench\n"
-            "on-chip): swin_t b256 went 2294 -> 3428 img/s (10.5 -> 15.6% MFU) from\n"
-            "two kernel redesigns: (1) group-batched QKV/proj (all G windows' rows\n"
-            "in one matmul, S padded 49->56 for tile alignment) and (2) head-PACKED\n"
-            "scores for heads<=6: one matmul chain per window across all heads via a\n"
-            "block channel-mask, softmax denominator as a matmul (kills the per-head\n"
-            "cross-lane reductions).  Per-stage pairs measured: c=96 45.9ms@4.3%,\n"
-            "c=192 23.5ms@8.0%, c=384 10.0ms@18.5%, c=768 5.7ms@32% — stage 1+2 are\n"
-            "70% of device time.  Attention kernel at stage 1: 15.4 -> 7.9 ms\n"
-            "(FLOP floor 0.38 ms).  Remaining gap is structural for C=96 shapes:\n"
-            "K=96 contractions run ~37% of MXU capacity (96/128 lanes x partial\n"
-            "tile pipelining), G-sweep flat (not per-program overhead), LN-as-matmul\n"
-            "and cheap-poly-erf both measured ~0 on-chip.  Next lever would be\n"
-            "cross-block restructuring, not kernel tuning.\n\n"
-            "ConvNeXt depthwise study (round 4, all on-chip b256): grouped lax.conv\n"
-            "is the BEST depthwise path on TPU — 4.9/4.0/3.0/4.4 ms per stage vs\n"
-            "XLA shifted-slice 13.2/7.4/4.5/3.5 (49 unfused HBM re-reads) and a\n"
-            "Pallas VMEM tap kernel 13.6/7.8/4.4/3.9 (VMEM-bandwidth bound: 3 VMEM\n"
-            "touches per FMA; bf16 accumulate SLOWER at 23 ms — VPU is natively\n"
-            "f32).  Kernel kept behind CVT_DW_PALLAS=1.  The real win was the\n"
-            "traced 36%-of-device-time LayerNorm convert/reduce fusions: the fused\n"
-            "CNBlock tail (cn_mlp_block: LN+MLP+layer_scale+residual, one\n"
-            "VMEM-resident pass) took convnext_tiny 3749 -> 4184 img/s (18.9% MFU).\n"
-            "In-kernel A/B: erf-gelu costs 1.6ms of the 6.9ms stage-1 kernel\n"
-            "(deg-12 poly erf saves only 0.4ms); identity-gelu kernel still 4.8ms\n"
-            "vs 0.6ms floor -> same C=96 K-contraction ceiling as swin stage 1.\n\n"
-            "Train-MFU analysis (R50 b128 bf16, fwd+bwd counted as 3x fwd FLOPs;\n"
-            "trace-backed, tools/trace_report.py r50_train joined with the optimized\n"
-            "HLO's op_name metadata): per 51 ms step, forward convs run 8.6 ms\n"
-            "(~62% of bf16 peak), backward dgrad+wgrad convs 26.2 ms (~40%), other\n"
-            "fusions (BN normalize, optimizer, relu) ~8 ms, BN statistics reduces\n"
-            "~0 (fully fused into the conv fusions). The gap is concentrated in the\n"
-            "early-layer 1x1 wgrads: e.g. layer1_1/Conv_0 wgrad contracts\n"
-            "K=128*56*56=401k down to a (256,64) output - 2.6 ms in-step vs an MXU\n"
-            "cycle floor of ~0.55 ms (output spans only 2 half-filled 128x128\n"
-            "tiles, so the array idles on K-streaming). Reformulations measured\n"
-            "on-chip: explicit dot_general wgrad 3.2 ms (slower), K-split batched\n"
-            "dot G=4/8/16/32 = 2.1-3.0 ms (no MXU-level batch parallelism).\n"
-            "Earlier levers (donation, batch 256/512, scoped-vmem, latency-hiding\n"
-            "scheduler) all flat or negative. A per-shape Pallas wgrad engine was\n"
-            "then built and measured (ops/pallas/wgrad_matmul.py, ops/pointwise.py):\n"
-            "standalone it runs 0.9-1.3x XLA's dot per shape (both ~1.5-2.4 ms --\n"
-            "the 0.55 ms floor estimate was wrong: streaming K through 2 half-\n"
-            "filled output tiles is itself the bound), but wired into the step it\n"
-            "LOSES 24 ms (76.6 vs 52.8 ms: pallas_call forces lane-padding copies\n"
-            "of the 64-channel layer1 activations and breaks backward fusion),\n"
-            "and a custom-vjp with XLA's own dot exactly matches stock conv\n"
-            "backward (2415 vs 2423 img/s). Two independent reformulations\n"
-            "landing on the same number confirms ~31% is the structural plateau\n"
-            "for this step shape on v5e.\n")
+            "\nDetection attribution (round 5, tools/trace_report.py frcnn_bf16 +\n"
+            "optimized-HLO op_name join): the f32 640^2 b8 FasterRCNN step was\n"
+            "143 ms/iter; bf16 alone only 128 ms (convs were NOT the bound).\n"
+            "The HLO metadata mapped the hot ops: 16 reshapes + 4 multiply_\n"
+            "reduce fusions = the RoI pooler materialising 4 bilinear taps x 4\n"
+            "FPN levels of (2400,7,7,2,2,256) f32 (~38 ms/iter, 30%), 8 gather\n"
+            "fusions (~11 ms), and the 4096-candidate postprocess NMS chain\n"
+            "((8,4096,4096) IoU tensors + fixpoint while). Fixes, each exact:\n"
+            "pool each roi ONCE at its own level via a row-concatenated pyramid\n"
+            "(roi_align_pyramid, 4x less gather traffic), per-LEVEL RPN NMS\n"
+            "(batched (levels x images) 1000-box problems, 5x less quadratic\n"
+            "work), tap weights in the feature dtype. Result: 62 ms/iter\n"
+            "(129+ img/s, 2.25x). Recorded NEGATIVE: a blocked VMEM-resident\n"
+            "Pallas NMS kernel (ops/pallas/nms.py) reproduces greedy NMS\n"
+            "exactly on-chip but runs 93 ms vs XLA's 6.6 ms at N=4096x8 - the\n"
+            "exactness-mandated fixed-depth in-block sweeps serialise on the\n"
+            "VPU, and Mosaic ICEs on the convergence-checked while_loop that\n"
+            "would fix it; kernel ships opt-in (CVT_NMS_PALLAS=1).\n\n"
+            "Swin C=96 ceiling experiments (round 5, VERDICT #3): (a)\n"
+            "tools/k96_ab.py measured zero-padding K 96->128 on the stage-1\n"
+            "matmul shapes: mlp1 6.26->3.94 ms (-37%), proj -3%, mlp2 (N-pad)\n"
+            "-14%, stage-2 qkv 192->256 -9%, qkv neutral - the padded lanes\n"
+            "are free bandwidth (bf16 tiles store 96-wide arrays 128-padded\n"
+            "anyway) and recover MXU lane occupancy. (b) Model-level\n"
+            "realisation: SwinTransformer(pad_channels=True) + masked-count\n"
+            "LayerNorms + pad_swin_variables (exact-function parity tests);\n"
+            "e2e A/B in tools/swin_pad_ab.py. Round-4 swin attribution\n"
+            "(head-packing, group-batching, per-stage ceilings) recorded in\n"
+            "BENCH_NOTES r4 / HANDOFF. Note: the ADVICE r4 per-head softmax\n"
+            "max fix (packed kernel correctness in the v2 extreme-logit\n"
+            "regime) costs ~6% swin_t e2e (3702 -> ~3460) - kept, correctness\n"
+            "over speed; the padding experiment is the recovery path.\n\n"
+            "Int8-ViT ceiling (round 5, tools/trace_report.py int8_vit):\n"
+            "per 54 ms b256 step, the 12 int8 MLP kernels run 2.28 ms/layer\n"
+            "(1.6x over the bf16 fused MLP, ~46% of int8 peak) and the 12\n"
+            "attention kernels 1.51 ms/layer (QKV/proj int8, scores/softmax/\n"
+            "AV stay bf16 per-head). Amdahl with attention+embed unquantized\n"
+            "bounds e2e at ~1.26x; measured 1.24x at 3.4% logit rel-err - the\n"
+            "transformer int8 ceiling is structural under this split.\n"
+            "RECORDED NEGATIVE: a batched-heads dot_general reformulation of\n"
+            "the per-head loop is exact under interpret but compiled Mosaic\n"
+            "rejects the (S,heads,hd)->(heads,S,hd) transpose ('unsupported\n"
+            "shape cast'); kept interpret-only behind CVT_ATTN_BATCHED=1.\n\n"
+            "MBConv families are SE-bound (round 5 traces effnet_infer /\n"
+            "mnv3_infer): efficientnet_b0 b256 spends ~65% of device time in\n"
+            "16 convert_reduce fusions - the SE squeeze global means, which\n"
+            "re-read every expanded activation map from HBM (~8 GB/iter at\n"
+            "819 GB/s ~ 9.5 of 14.7 ms); mobilenet_v3_large ~50% in the same\n"
+            "pattern + hardswish elementwise passes. Compute floor is 3-4%\n"
+            "MFU-equivalent; the 7-8% measured MFU is an HBM roofline, not a\n"
+            "kernel deficiency. A fused VMEM-resident MBConv tail could save\n"
+            "at most ~1 of the ~3 passes (bounded ~20-30%); not taken this\n"
+            "round.\n\n"
+            "swin3d fused path (round 5): SwinBlock3d now rides the 2D fused\n"
+            "window-attention + MLP kernels (3D windows flatten to S=392\n"
+            "tokens; stages 1-3 fusable, stage 4's (24,392,392) bias exceeds\n"
+            "VMEM). swin3d_t 16f b4: 156 -> 182 clip/s (+17%, 8.1% MFU);\n"
+            "torch logits-parity tests stay green.\n\n"
+            "ViT train (round 5, tools/vit_train_ab.py): fused kernels ARE\n"
+            "taken and profitable under jax.grad - 671.9 img/s (36.0% MFU)\n"
+            "fused vs 652.6 (35.0%) unfused XLA. The custom_vjp backward\n"
+            "recomputes the forward from x (flash-style remat), so the true\n"
+            "FLOP multiple is ~3.3x fwd, not the 3x the MFU convention\n"
+            "counts - ~38% hardware-true utilisation.\n\n"
+            "RAFT lookup redesign (round 5, tools/trace_report.py raft_infer +\n"
+            "HLO join): the correlation-pyramid lookup was 81-point\n"
+            "take_along_axis gathers along the LANE axis of the (HW, Hl*Wl)\n"
+            "volume - ~20 ms per tap-gather on the 56x128 level, the hottest\n"
+            "ops of the model. Replaced by ONE structured 10x10 patch slice\n"
+            "per level (all 4*81 taps share one integer window around the\n"
+            "shared-fraction centre; zero-padding the volume reproduces the\n"
+            "out-of-range rule exactly - oracle + torch-parity tests):\n"
+            "448x1024 12-iter b2 went 3135 -> 2386 ms/iter (+31%). Remaining\n"
+            "bound: XLA lowers both vmapped dynamic_slice AND lax.gather\n"
+            "with 2-D slice_sizes to SERIAL while loops (~9.6 ms per level-\n"
+            "site); with those plus the GRU's small b2 shapes the model is\n"
+            "gather/latency-bound, not FLOP-bound (sampled device window:\n"
+            "~70% gather machinery, convs negligible).\n\n"
+            "R50 train wgrad plateau (round 3-4, stands): ~31% MFU is\n"
+            "structural for b128 on v5e - two independent wgrad\n"
+            "reformulations (explicit dot_general, K-split batched dot, a\n"
+            "per-shape Pallas wgrad engine) landed on the same number; the\n"
+            "early-layer 1x1 wgrads stream K=401k into 2 half-filled output\n"
+            "tiles. Full analysis in git history (BENCH_NOTES r4).\n")
 
 
 if __name__ == "__main__":

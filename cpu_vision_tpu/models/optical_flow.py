@@ -266,30 +266,50 @@ def _bilinear_lookup(corr: jax.Array, coords: jax.Array, radius: int) -> jax.Arr
     taps contribute 0, and the window channel order is x-major (the
     reference adds its ``delta[..., 0]`` to the x coordinate)."""
     n, hw, hl, wl = corr.shape
-    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    di, dj = jnp.meshgrid(d, d, indexing="ij")
-    # reference: sampling = (x, y) + (di, dj) -> di moves x and varies slowly
-    offs = jnp.stack([di.reshape(-1), dj.reshape(-1)], axis=-1)  # (K, 2) as (dx, dy)
-    k = offs.shape[0]
-    x = coords[..., 0:1] + offs[None, None, :, 0]  # (N, HW, K)
-    y = coords[..., 1:2] + offs[None, None, :, 1]
+    w = 2 * radius + 1
+    win = w + 1                       # bilinear needs one extra row/col
+    # TPU redesign: the original 4 x K ``take_along_axis`` gathers along the
+    # minor (lane) axis traced at ~20 ms EACH on the 56x128 level (the hot
+    # op of the whole model, 12 iters x 4 levels); a single structured
+    # (win, win)-patch gather per level replaces them.  The window offsets
+    # are a fixed integer grid around the (shared-fraction) centre, so ALL
+    # 4*K taps live in one (win, win) patch at base = floor(c) - radius,
+    # and zero-padding the map by ``win`` reproduces the out-of-range-
+    # taps-contribute-0 rule exactly.  Bases that would clamp correspond to
+    # fully-out-of-range windows -> masked to 0.  The pad is loop-invariant
+    # across the 12 refinement iterations (XLA CSEs the copies).
+    p = win
+    padded = jnp.pad(corr, ((0, 0), (0, 0), (p, p), (p, p)))
+    x = coords[..., 0]
+    y = coords[..., 1]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    tx = x - x0
-    ty = y - y0
-    out = jnp.zeros((n, hw, k), corr.dtype)
-    flat = corr.reshape(n, hw, hl * wl)
-    for dyi, wy in ((0, 1.0 - ty), (1, ty)):
-        for dxi, wx in ((0, 1.0 - tx), (1, tx)):
-            yt = y0 + dyi
-            xt = x0 + dxi
-            valid = (yt >= 0) & (yt <= hl - 1) & (xt >= 0) & (xt <= wl - 1)
-            yi = jnp.clip(yt, 0, hl - 1).astype(jnp.int32)
-            xi = jnp.clip(xt, 0, wl - 1).astype(jnp.int32)
-            idx = yi * wl + xi
-            tap = jnp.take_along_axis(flat, idx, axis=2)
-            out = out + jnp.where(valid, tap * (wy * wx), 0.0)
-    return out
+    tx = (x - x0)[..., None, None]    # (N, HW, 1, 1) — same frac for all taps
+    ty = (y - y0)[..., None, None]
+    bu_y = y0.astype(jnp.int32) - radius + p
+    bu_x = x0.astype(jnp.int32) - radius + p
+    base_y = jnp.clip(bu_y, 0, hl + 2 * p - win)
+    base_x = jnp.clip(bu_x, 0, wl + 2 * p - win)
+    flatm = padded.reshape(n * hw, hl + 2 * p, wl + 2 * p)
+    # one explicit patch-gather: (row, by, bx) -> (win, win) slices.  A
+    # vmapped dynamic_slice lowers to SERIAL while loops on TPU (traced at
+    # ~9.6 ms per call site); lax.gather with 2-D slice_sizes does not.
+    rows = jnp.arange(n * hw, dtype=jnp.int32)
+    starts = jnp.stack([rows, base_y.reshape(-1), base_x.reshape(-1)], axis=-1)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2))
+    patch = jax.lax.gather(flatm, starts, dnums, (1, win, win),
+                           mode=jax.lax.GatherScatterMode.CLIP)
+    patch = patch.reshape(n, hw, win, win)
+    out_yx = (patch[:, :, :w, :w] * (1 - ty) * (1 - tx)
+              + patch[:, :, :w, 1:] * (1 - ty) * tx
+              + patch[:, :, 1:, :w] * ty * (1 - tx)
+              + patch[:, :, 1:, 1:] * ty * tx)      # (N, HW, y-off, x-off)
+    ok = ((bu_y == base_y) & (bu_x == base_x))[..., None, None]
+    out_yx = jnp.where(ok, out_yx, 0.0)
+    # reference channel order is x-major (di moves x and varies slowly)
+    return out_yx.transpose(0, 1, 3, 2).reshape(n, hw, w * w)
 
 
 def _upsample_flow(flow: jax.Array, mask: Optional[jax.Array]) -> jax.Array:

@@ -16,6 +16,10 @@ from flax import linen as nn
 from ._api import register_model
 from .layers import PatchifyDense
 
+# A/B switches for the fused Pallas sub-block kernels (tools/vit_train_ab.py)
+FUSED_ATTENTION = True
+FUSED_MLP = True
+
 __all__ = ["VisionTransformer", "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32", "vit_h_14"]
 
 
@@ -152,8 +156,9 @@ class EncoderBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         n, s, d = x.shape
         det = not train
-        attn_fusable = ((det or (self.attention_dropout == 0.0
-                                 and self.dropout == 0.0))
+        attn_fusable = (FUSED_ATTENTION
+                        and (det or (self.attention_dropout == 0.0
+                                     and self.dropout == 0.0))
                         and self._attn_fits_vmem(d, s))
         if attn_fusable:
             # whole attention sub-block (LN + QKV + MHA + out + residual)
@@ -186,7 +191,7 @@ class EncoderBlock(nn.Module):
             x = x + h
 
         drop_off = self.dropout == 0.0 or det
-        if drop_off and self._mlp_fits_vmem(d):
+        if FUSED_MLP and drop_off and self._mlp_fits_vmem(d):
             # one-kernel MLP sub-block: LN + both matmuls + gelu +
             # residual, weights VMEM-resident (ops/pallas/transformer_block
             # docstring has the trace evidence: XLA's own fusion of this

@@ -186,11 +186,13 @@ def _ref_math(x, ln_g, ln_b, w1, b1, w2, b2, eps, dtype, post_norm=False,
 def _mha_core(qkv, d: int, heads: int, scale: float, dtype):
     """Multi-head scores/softmax/AV inside a kernel, (S, 3D) -> (S, D) f32.
 
-    Two formulations, A/B'd on-chip (CVT_ATTN_BATCHED=1 switches):
-    - unrolled per-head loop (2*heads small K=hd matmuls)
-    - one batched ``dot_general`` over the head axis (Mosaic supports
-      batch dims; trades the per-op dispatch of the loop for two
-      (S,heads,hd) transposes)
+    Two formulations (CVT_ATTN_BATCHED=1 switches):
+    - unrolled per-head loop (2*heads small K=hd matmuls) — the default
+    - one batched ``dot_general`` over the head axis.  RECORDED NEGATIVE:
+      correct under interpret, but compiled Mosaic rejects the
+      (S, heads, hd) -> (heads, S, hd) transpose ("infer-vector-layout:
+      unsupported shape cast", jax 2026-08), so the batched path is
+      interpret-only until Mosaic grows that relayout.
     """
     s_len = qkv.shape[0]
     hd = d // heads

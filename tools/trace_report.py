@@ -153,6 +153,29 @@ def workload_frcnn_bf16():
     return _frcnn(jnp.bfloat16)
 
 
+def workload_swin3d_infer():
+    from cpu_vision_tpu import models
+
+    m = models.get_model("swin3d_t", num_classes=400, dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 224, 224, 3)), train=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((4, 16, 224, 224, 3), dtype=np.float32)).astype(jnp.bfloat16)
+    f = jax.jit(lambda v, t: m.apply(v, t, train=False))
+    return (lambda s: (s, f(v, x))), None
+
+
+def workload_raft_infer():
+    from cpu_vision_tpu import models
+
+    m = models.get_model("raft_large", iters=12, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    f1 = jnp.asarray(rng.random((2, 448, 1024, 3), dtype=np.float32)) * 2 - 1
+    f2 = jnp.asarray(rng.random((2, 448, 1024, 3), dtype=np.float32)) * 2 - 1
+    v = m.init(jax.random.PRNGKey(0), f1[:1], f2[:1])
+    f = jax.jit(lambda v, a, b: m.apply(v, a, b)[-1])
+    return (lambda s: (s, f(v, f1, f2))), None
+
+
 def workload_int8_vit():
     from cpu_vision_tpu import models
     from cpu_vision_tpu.models.quantization_vit import Int8ViT
@@ -195,6 +218,8 @@ WORKLOADS = {
     "effnet_infer": workload_effnet_infer,
     "mnv3_infer": workload_mnv3_infer,
     "int8_vit": workload_int8_vit,
+    "swin3d_infer": workload_swin3d_infer,
+    "raft_infer": workload_raft_infer,
     "convnext_infer": workload_convnext_infer,
     "r50_infer": workload_r50_infer,
     "vit_infer": workload_vit_infer,
