@@ -372,6 +372,15 @@ def main():
     rows.append(emit("retinanet_640_infer_mfu_pct",
                      ret_ips * 97e9 * 2 / 197e12 * 100, "%"))
     del rnet, rvars, fr
+    # keypoint family (reference keypoint_rcnn.py:KeypointRCNN)
+    krcnn = det.KeypointRCNN(num_classes=2, rpn_pre_nms_top_n=1000,
+                             rpn_post_nms_top_n=300, max_detections=100,
+                             dtype=jnp.bfloat16)
+    kvars = krcnn.init(jax.random.PRNGKey(0), dx[:1], train=False)
+    fk = jax.jit(lambda v, t: krcnn.apply(v, t, train=False))
+    dtk = bench(fk, kvars, dx, iters=5)
+    rows.append(emit("keypointrcnn_640_infer_b8", 8 / dtk, "img/s"))
+    del krcnn, kvars, fk
 
     # 6d-anchor. The same pipeline on the reference itself, on this host's
     # CPU (reference torchvision imported from source with the C-op schemas
@@ -594,12 +603,15 @@ def main():
             "anyway) and recover MXU lane occupancy. (b) Model-level\n"
             "realisation: SwinTransformer(pad_channels=True) + masked-count\n"
             "LayerNorms + pad_swin_variables (exact-function parity tests);\n"
-            "e2e A/B in tools/swin_pad_ab.py. Round-4 swin attribution\n"
-            "(head-packing, group-batching, per-stage ceilings) recorded in\n"
-            "BENCH_NOTES r4 / HANDOFF. Note: the ADVICE r4 per-head softmax\n"
+            "e2e 3451.5 -> 3618.1 img/s (+4.8%, tools/swin_pad_ab.py). (c)\n"
+            "Two-consecutive-block fusion is structurally blocked in the\n"
+            "Pallas model: the cyclic roll + re-partition between a block\n"
+            "and its shifted successor is a GLOBAL permutation, and a kernel\n"
+            "program only holds its own G windows. (d) Patch-merge folding\n"
+            "untried (bounded share). Note: the ADVICE r4 per-head softmax\n"
             "max fix (packed kernel correctness in the v2 extreme-logit\n"
             "regime) costs ~6% swin_t e2e (3702 -> ~3460) - kept, correctness\n"
-            "over speed; the padding experiment is the recovery path.\n\n"
+            "over speed.\n\n"
             "Int8-ViT ceiling (round 5, tools/trace_report.py int8_vit):\n"
             "per 54 ms b256 step, the 12 int8 MLP kernels run 2.28 ms/layer\n"
             "(1.6x over the bf16 fused MLP, ~46% of int8 peak) and the 12\n"
